@@ -1,0 +1,34 @@
+"""Gap-fill irregular per-key buckets to a dense fixed grid.
+
+The STL core requires equally spaced data with no missing values
+(reference README.md:8); this operator makes that assumption true before the
+decomposition UDF.  The dense grid is built per key from its own [min, max]
+bucket range with sequence+explode (distributed — no driver-side expansion),
+then left-joined back to the observed buckets with missing values filled with
+0 (no crawls observed that hour).
+
+Scale notes: grid size per url is bounded by the time range (e.g. 90 days of
+hourly grid = 2160 rows) regardless of raw crawl count, so per-group state in
+the downstream pandas UDF stays small.  The join is a key+ts equi-join
+between two url-partitioned children; AQE handles post-shuffle coalescing.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_INTERVALS = {"hour": "interval 1 hour", "day": "interval 1 day", "week": "interval 7 days"}
+
+
+def gapfill(buckets: DataFrame, granularity: str = "hour", fill_value: float = 0.0) -> DataFrame:
+    """Dense (url, ts, value) grid; value = cnt where observed else fill."""
+    interval = _INTERVALS[granularity]
+    bounds = buckets.groupBy("url").agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    grid = bounds.select(
+        "url", F.explode(F.sequence("t0", "t1", F.expr(interval))).alias("ts")
+    )
+    return grid.join(buckets, ["url", "ts"], "left").select(
+        "url",
+        "ts",
+        F.coalesce(F.col("cnt").cast("double"), F.lit(float(fill_value))).alias("value"),
+    )

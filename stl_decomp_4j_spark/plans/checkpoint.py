@@ -1,0 +1,44 @@
+"""Checkpoint/resume manifest for the rollup pipeline.
+
+Work is sliced into url-hash buckets (``pmod(xxhash64(url), n_buckets)``).
+Each completed bucket appends a manifest row (run_id, bucket, status, rows,
+wall seconds); a resumed run plans only buckets without a 'done' row and
+rewrites their output partitions idempotently (dynamic partition overwrite /
+Iceberg overwritePartitions).  Lineage: every output row carries run_id and
+bucket.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from pathlib import Path
+
+
+class Manifest:
+    """Tiny JSONL manifest; on a cluster this would be an Iceberg table, but
+    the semantics (append-only status rows, read-back to plan work) are the
+    same and a file keeps the sandbox dependency-free."""
+
+    def __init__(self, root: str) -> None:
+        self.path = Path(root) / "manifest.jsonl"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def done_buckets(self) -> set[int]:
+        done = set()
+        if self.path.exists():
+            for line in self.path.read_text().splitlines():
+                row = json.loads(line)
+                if row["status"] == "done":
+                    done.add(row["bucket"])
+        return done
+
+    def mark(self, run_id: str, bucket: int, status: str, **metrics) -> None:
+        row = {"run_id": run_id, "bucket": bucket, "status": status, "ts": time.time(), **metrics}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]

@@ -1,0 +1,132 @@
+"""End-to-end Spark pipeline tests: synthetic pages table -> bucketize ->
+gap-fill -> STL -> tiers -> Gorilla sink, compared exactly against a local
+pandas/NumPy reference run of the same core (SURVEY.md §5 engine test plan),
+plus checkpoint/resume and the text byte-identity invariant."""
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from stl_decomp_4j_spark.operators.bucketize import bucketize
+from stl_decomp_4j_spark.operators.compress import compress_tier, decompress_chunks
+from stl_decomp_4j_spark.operators.gapfill import gapfill
+from stl_decomp_4j_spark.operators.rollup import build_tiers
+from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+from stl_decomp_4j_spark.pipeline import PipelineConfig, run_pipeline
+from stl_decomp_4j_spark.sources.pages import generate_pages, text_digests
+
+N_URLS = 12
+DAYS = 21
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = generate_pages(spark, n_urls=N_URLS, days=DAYS, events_per_url=400, hot_url_count=2, hot_multiplier=16)
+    df.cache().count()
+    return df
+
+
+def test_pages_schema_and_determinism(spark, pages):
+    assert [f.name for f in pages.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
+    types = {f.name: f.dataType.simpleString() for f in pages.schema.fields}
+    assert types == {
+        "url": "string", "warc_ts": "timestamp", "html": "binary", "text": "string", "lang": "string",
+    }
+    # deterministic under different parallelism
+    again = generate_pages(
+        spark, n_urls=N_URLS, days=DAYS, events_per_url=400, hot_url_count=2, hot_multiplier=16, partitions=3
+    )
+    a = pages.groupBy().agg(F.expr("bit_xor(xxhash64(url, warc_ts, text, lang))").alias("h")).collect()[0]["h"]
+    b = again.groupBy().agg(F.expr("bit_xor(xxhash64(url, warc_ts, text, lang))").alias("h")).collect()[0]["h"]
+    assert a == b
+    # text is a pure function of url
+    assert text_digests(pages).filter(F.col("n_digests") != 1).count() == 0
+
+
+def test_bucketize_and_gapfill_dense(spark, pages):
+    buckets = bucketize(pages)
+    series = gapfill(buckets)
+    pdf = series.toPandas().sort_values(["url", "ts"])
+    for url, g in pdf.groupby("url"):
+        diffs = g["ts"].diff().dropna().dt.total_seconds()
+        assert (diffs == 3600).all(), f"grid not dense for {url}"
+    # gap-filled totals preserve observed counts
+    assert pdf["value"].sum() == pages.count()
+
+
+def test_stl_matches_local_reference_exactly(spark, pages):
+    series = gapfill(bucketize(pages))
+    out = stl_decompose_df(series, period=24, seasonal_width=35, robust=False)
+    got = out.toPandas().sort_values(["url", "ts"]).reset_index(drop=True)
+
+    from stl_decomp_4j_spark.stl import decompose
+
+    local = series.toPandas().sort_values(["url", "ts"])
+    for url, g in local.groupby("url"):
+        y = g["value"].to_numpy(dtype=float)
+        d = decompose(y, 24, seasonal_width=35, robust=False)
+        sub = got[got["url"] == url]
+        assert np.array_equal(sub["trend"].to_numpy(), d.trend), url
+        assert np.array_equal(sub["seasonal"].to_numpy(), d.seasonal), url
+        assert np.array_equal(sub["residual"].to_numpy(), d.residual), url
+
+
+def test_tiers_exact_vs_pandas(spark, pages):
+    decomposed = stl_decompose_df(gapfill(bucketize(pages)), period=24, seasonal_width=35)
+    tiers = build_tiers(decomposed)
+    t1d = tiers["1d"].toPandas().sort_values(["url", "ts"]).reset_index(drop=True)
+    pdf = decomposed.toPandas()
+    pdf["day"] = pdf["ts"].dt.floor("D")
+    ref = pdf.groupby(["url", "day"]).agg(
+        sum_trend=("trend", "sum"), min_trend=("trend", "min"), max_trend=("trend", "max"), cnt=("trend", "size")
+    ).reset_index()
+    merged = t1d.merge(ref, left_on=["url", "ts"], right_on=["url", "day"], suffixes=("", "_ref"))
+    assert len(merged) == len(t1d) == len(ref)
+    assert np.allclose(merged["sum_trend"], merged["sum_trend_ref"], rtol=0, atol=1e-9)
+    assert np.array_equal(merged["min_trend"].to_numpy(), merged["min_trend_ref"].to_numpy())
+    assert (merged["cnt"] == merged["cnt_ref"]).all()
+    # week tier from day tier: totals conserved exactly in sum&cnt space
+    t1w = tiers["1w"].toPandas()
+    assert t1w["cnt"].sum() == len(pdf)
+    assert abs(t1w["sum_value"].sum() - pdf["value"].sum()) < 1e-6
+
+
+def test_gorilla_chunks_roundtrip_via_spark(spark, pages):
+    decomposed = stl_decompose_df(gapfill(bucketize(pages)), period=24, seasonal_width=35)
+    tier = build_tiers(decomposed)["1h"].select("url", "ts", "sum_value", "sum_trend")
+    chunks = compress_tier(tier)
+    back = decompress_chunks(chunks).toPandas()
+    orig = tier.toPandas()
+    for col in ("sum_value", "sum_trend"):
+        got = back[back["column"] == col].sort_values(["url", "ts_ms"])["value"].to_numpy()
+        want = orig.sort_values(["url", "ts"])[col].to_numpy()
+        assert np.array_equal(got, want)
+
+
+def test_full_pipeline_with_resume(spark, pages, tmp_path):
+    out = str(tmp_path / "rollup")
+    cfg = PipelineConfig(n_buckets=4, compress=True)
+    res1 = run_pipeline(spark, pages, out, cfg)
+    assert len(res1.buckets_run) == 4
+    assert res1.rows_per_tier["1h"] > res1.rows_per_tier["1d"] > res1.rows_per_tier["1w"] > 0
+
+    # resume: everything done -> nothing re-runs, outputs unchanged
+    before = spark.read.parquet(f"{out}/tier_1d").toPandas().sort_values(["url", "ts"]).reset_index(drop=True)
+    res2 = run_pipeline(spark, pages, out, cfg, resume=True)
+    assert res2.buckets_run == [] and len(res2.buckets_skipped) == 4
+    after = spark.read.parquet(f"{out}/tier_1d").toPandas().sort_values(["url", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        before.drop(columns=["run_id"]), after.drop(columns=["run_id"])
+    )
+
+    # partial resume: wipe 2 buckets from the manifest -> only those re-run
+    manifest = tmp_path / "rollup" / "manifest.jsonl"
+    lines = [l for l in manifest.read_text().splitlines() if '"bucket": 0' not in l and '"bucket": 1' not in l]
+    manifest.write_text("\n".join(lines) + "\n")
+    res3 = run_pipeline(spark, pages, out, cfg, resume=True)
+    assert sorted(res3.buckets_run) == [0, 1]
+    assert sorted(res3.buckets_skipped) == [2, 3]
+    final = spark.read.parquet(f"{out}/tier_1d").toPandas().sort_values(["url", "ts"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        before.drop(columns=["run_id"]), final.drop(columns=["run_id"])
+    )
