@@ -1,38 +1,498 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship north-rule pipeline slice on sf0.001.
+queries(): one entry per implemented operator (SURVEY.md §2); each callable
+takes (spark, sf_dir) and returns a DataFrame.
+oracle_sql(): DuckDB ANSI-SQL twin per SQL-expressible query; non-SQL ops
+(STL decomposition, LSH variants, multimodal) are rows-only by design.
 """
-
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _t(sf_dir: str, name: str):
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stl_decomp_4j_spark.operators.bucketize import bucketize
+
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    return bucketize(events, key_col="event_type", ts_col="ts", granularity="hour")
+
+
+def _events_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stl_decomp_4j_spark.operators.gapfill import gapfill
+
+    return gapfill(_events_hourly(spark, sf_dir), granularity="hour")
+
+
+def _fmt_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    return df.withColumn(col, F.date_format(F.col(col), TS_FMT))
+
+
+# --------------------------------------------------------------------------
+# individual queries
+# --------------------------------------------------------------------------
+
+def q_bucketize_hourly(spark, sf_dir):
+    return _fmt_ts(_events_hourly(spark, sf_dir)).select("url", "ts", "cnt")
+
+
+def q_gapfill_hourly(spark, sf_dir):
+    return _fmt_ts(_events_gapfilled(spark, sf_dir)).select("url", "ts", "value")
+
+
+def q_rollup_daily(spark, sf_dir):
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    return _fmt_ts(
+        events.groupBy(
+            F.col("event_type").alias("url"), F.date_trunc("day", "ts").alias("ts")
+        ).agg(
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def q_rollup_weekly(spark, sf_dir):
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    return _fmt_ts(
+        events.groupBy(
+            F.col("event_type").alias("url"), F.date_trunc("week", "ts").alias("ts")
+        ).agg(
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def q_sma_24h(spark, sf_dir):
+    series = _events_gapfilled(spark, sf_dir)
+    w = Window.partitionBy("url").orderBy("ts").rowsBetween(-23, 0)
+    out = series.select(
+        "url",
+        "ts",
+        F.round(F.avg("value").over(w), 6).alias("sma24"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    return _fmt_ts(out)
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(_t(sf_dir, "lineitem"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    orders = spark.read.parquet(_t(sf_dir, "orders"))
+    cust = spark.read.parquet(_t(sf_dir, "customer"))
+    rev = (
+        orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+                                        F.count(F.lit(1)).alias("n_orders"))
+    )
+    out = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "revenue", "n_orders"
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+
+
+def q_text_token_stats(spark, sf_dir):
+    from stl_decomp_4j_spark.functions.text import punct_count, token_count, word_count
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        word_count(F.col("text")).alias("n_words"),
+        punct_count(F.col("text")).alias("n_punct"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from stl_decomp_4j_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_lang_guess(spark, sf_dir):
+    from stl_decomp_4j_spark.functions.text import lang_guess
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select("doc_id", lang_guess(F.col("text")).alias("lang_guess"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from stl_decomp_4j_spark.functions.text import fingerprint
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(spark.read.parquet(_t(sf_dir, "documents")))
+
+
+def q_dedup_word_set(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.dedup import dedup_word_set
+
+    return dedup_word_set(spark.read.parquet(_t(sf_dir, "documents")))
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(spark.read.parquet(_t(sf_dir, "documents")), threshold=0.5)
+
+
+def q_embedding_near_dup_bf(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.similarity import _as_double, cosine
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select("vec_id", _as_double("embedding").alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.5)
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return brute_force_topk(emb, q, k=10).select("vec_id", "rank")
+
+
+def q_ann_lsh(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ann_lsh_topk(emb, q, k=10, multiprobe_bits=2).select("vec_id", "rank")
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(spark.read.parquet(_t(sf_dir, "embeddings")), threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(spark.read.parquet(_t(sf_dir, "documents")), max_hamming=10)
+
+
+def q_stl_decompose_events(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+    series = _events_gapfilled(spark, sf_dir)
+    out = stl_decompose_df(series, period=24, seasonal_width=35, robust=False)
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        "value",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("residual", 6).alias("residual"),
+    )
+
+
+def q_stl_tier_1d(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.rollup import build_tiers
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+    decomposed = stl_decompose_df(_events_gapfilled(spark, sf_dir), period=24, seasonal_width=35)
+    t1d = build_tiers(decomposed)["1d"]
+    cols = ["url", "ts"] + [c for c in t1d.columns if c.startswith(("sum_", "min_", "max_"))] + ["cnt"]
+    out = t1d.select(*[F.round(c, 6).alias(c) if c.startswith(("sum_", "min_", "max_")) else c for c in cols])
+    return _fmt_ts(out)
+
+
+def q_gorilla_roundtrip(spark, sf_dir):
+    """Gap-filled series passed through Gorilla encode+decode; the oracle is
+    the plain series SQL — they match iff the codec is lossless."""
+    from stl_decomp_4j_spark.operators.compress import compress_tier, decompress_chunks
+
+    series = _events_gapfilled(spark, sf_dir)
+    chunks = compress_tier(series.select("url", "ts", "value"), columns=["value"])
+    back = decompress_chunks(chunks)
+    return back.select(
+        "url",
+        F.date_format(F.timestamp_millis(F.col("ts_ms")), TS_FMT).alias("ts"),
+        "value",
+    )
+
+
+def q_stl_fit_stats(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    from stl_decomp_4j_spark.stl import decompose, stl_fit_stats
+
+    series = _events_gapfilled(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("data_mean", DoubleType()),
+            StructField("data_variance", DoubleType()),
+            StructField("trend_range", DoubleType()),
+            StructField("seasonal_variance", DoubleType()),
+            StructField("residual_variance", DoubleType()),
+            StructField("trendiness_z", DoubleType()),
+            StructField("seasonal_z", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        y = pdf["value"].to_numpy(dtype=float)
+        d = decompose(y, 24, seasonal_width=35, robust=False)
+        s = stl_fit_stats(d)
+        return pd.DataFrame(
+            [
+                {
+                    "url": pdf["url"].iloc[0],
+                    "data_mean": round(s.data_mean, 6),
+                    "data_variance": round(s.data_variance, 6),
+                    "trend_range": round(s.trend_range, 6),
+                    "seasonal_variance": round(s.seasonal_variance, 6),
+                    "residual_variance": round(s.residual_variance, 6),
+                    "trendiness_z": round(s.trendiness_z_score, 6),
+                    "seasonal_z": round(s.seasonal_z_score, 6),
+                }
+            ]
+        )
+
+    return series.groupBy("url").applyInPandas(fn, schema)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.multimodal import attach_media, extract_features
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    feats = extract_features(attach_media(docs), n_features=8)
+    return feats.select(
+        "media_id", "kind", "width", "height", "n_frames",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events -> bucketize -> gap-fill -> STL -> 1d tier."""
+    return q_stl_tier_1d(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "bucketize_hourly": q_bucketize_hourly,
+        "gapfill_hourly": q_gapfill_hourly,
+        "rollup_daily": q_rollup_daily,
+        "rollup_weekly": q_rollup_weekly,
+        "sma_24h": q_sma_24h,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "lang_guess": q_lang_guess,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_word_set": q_dedup_word_set,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "embedding_near_dup_bf": q_embedding_near_dup_bf,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "stl_decompose_events": q_stl_decompose_events,
+        "stl_tier_1d": q_stl_tier_1d,
+        "stl_fit_stats": q_stl_fit_stats,
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    hourly = (
+        "SELECT event_type AS url, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ts, "
+        "count(*) AS cnt FROM events GROUP BY 1, 2"
+    )
+    hourly_raw = "SELECT event_type AS url, date_trunc('hour', ts) AS ts, count(*) AS cnt FROM events GROUP BY 1, 2"
+    gapfill = f"""
+        WITH hourly AS ({hourly_raw}),
+        bounds AS (SELECT url, min(ts) AS t0, max(ts) AS t1 FROM hourly GROUP BY url),
+        grid AS (SELECT url, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM bounds)
+        SELECT g.url, strftime(g.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               coalesce(CAST(h.cnt AS DOUBLE), 0.0) AS value
+        FROM grid g LEFT JOIN hourly h ON g.url = h.url AND g.ts = h.ts
     """
-    return {}
+    gapfill_raw = f"""
+        WITH hourly AS ({hourly_raw}),
+        bounds AS (SELECT url, min(ts) AS t0, max(ts) AS t1 FROM hourly GROUP BY url),
+        grid AS (SELECT url, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM bounds)
+        SELECT g.url, g.ts AS ts, coalesce(CAST(h.cnt AS DOUBLE), 0.0) AS value
+        FROM grid g LEFT JOIN hourly h ON g.url = h.url AND g.ts = h.ts
+    """
+    shingles = """
+        SELECT doc_id, list_distinct([
+            lower(words[i]) || ' ' || lower(words[i+1]) || ' ' || lower(words[i+2])
+            FOR i IN range(1, len(words) - 1)
+        ]) AS sh
+        FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS words FROM documents)
+        WHERE len(words) >= 3
+    """
+    return {
+        "bucketize_hourly": hourly,
+        "gapfill_hourly": gapfill,
+        "rollup_daily": (
+            "SELECT event_type AS url, strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ts, "
+            "round(sum(value), 6) AS sum_value, min(value) AS min_value, max(value) AS max_value, "
+            "count(*) AS cnt FROM events GROUP BY 1, 2"
+        ),
+        "rollup_weekly": (
+            "SELECT event_type AS url, strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S') AS ts, "
+            "round(sum(value), 6) AS sum_value, min(value) AS min_value, max(value) AS max_value, "
+            "count(*) AS cnt FROM events GROUP BY 1, 2"
+        ),
+        "sma_24h": f"""
+            WITH series AS ({gapfill_raw})
+            SELECT url, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   round(avg(value) OVER w, 6) AS sma24,
+                   count(*) OVER w AS n_window
+            FROM series
+            WINDOW w AS (PARTITION BY url ORDER BY ts ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        """,
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice), 4) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem WHERE l_shipdate <= '1998-09-02' GROUP BY 1, 2"
+        ),
+        "top_customers": """
+            WITH rev AS (
+                SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue, count(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, revenue, n_orders,
+                   row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank
+            FROM rev JOIN customer ON o_custkey = c_custkey
+            QUALIFY rank <= 20
+        """,
+        "text_token_stats": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_words, "
+            "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct, "
+            "length(text) AS n_chars_measured FROM documents"
+        ),
+        "text_quality": """
+            SELECT doc_id, round((
+                least(CAST(n_tok AS DOUBLE) / 20.0, 1.0)
+                + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(CAST(n_tok AS DOUBLE), 1.0), 1.0))
+                + least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_tok AS DOUBLE), 1.0) * 5.0, 1.0)
+            ) / 3.0, 6) AS quality
+            FROM (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\\S+')) AS n_tok,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS n_stop
+                FROM documents
+            )
+        """,
+        "lang_guess": """
+            SELECT doc_id, CASE
+                WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+                WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+                WHEN es >= fr AND es > 0 THEN 'es'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS lang_guess
+            FROM (
+                SELECT doc_id,
+                    len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS en,
+                    len(regexp_extract_all(lower(text), '\\b(der|und|die|das|ist)\\b')) AS de,
+                    len(regexp_extract_all(lower(text), '\\b(le|la|et|les|des)\\b')) AS fr,
+                    len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS es
+                FROM documents
+            )
+        """,
+        "doc_fingerprint": (
+            "SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp FROM documents"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_docs "
+            "FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "dedup_word_set": (
+            "SELECT md5(array_to_string(list_sort(list_distinct("
+            "regexp_extract_all(lower(trim(text)), '\\S+'))), ' ')) AS sig, "
+            "min(doc_id) AS keep_id, count(*) AS n_docs FROM documents GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "dedup_minhash_lsh": f"""
+            WITH sh AS ({shingles})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+        """,
+        "embedding_near_dup_bf": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.5
+        """,
+        "ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       round(list_dot_product(v, qv)
+                             / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos
+                FROM e, q
+            )
+            SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+            FROM scored QUALIFY rank <= 10
+        """,
+        "gorilla_roundtrip": gapfill,
+    }

@@ -1,0 +1,197 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are pure DataFrame ops (JVM-side expressions; no Python UDFs):
+
+- exact:        hash-groupBy on a content digest.
+- word-set:     digest of the sorted distinct word set (cheap canonicalizer).
+- minhash LSH:  word-shingle minhash signatures -> banded bucket join ->
+                exact-Jaccard verification of candidates.  LSH only
+                *generates* candidates; every emitted pair is exact-verified,
+                so precision is 1 and recall is 1 - (1 - J^rows)^bands.
+- simhash:      64-bit sign-aggregated word-hash fingerprint + banding for
+                hamming-neighbor candidate pairs.
+- embedding:    random-hyperplane LSH buckets -> exact cosine verification
+                (see similarity.py for the cosine primitives).
+
+Scale notes: the shuffles are (a) explode shingles -> groupBy doc (bounded by
+shingle count), (b) band bucket self-join (AQE skew-join handles hot
+buckets), (c) candidate-pair join back to shingle sets.  At 10^12 docs the
+band join is the hot spot — band count and rows-per-band trade recall
+against candidate volume; both are explicit knobs.
+"""
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.text import fingerprint, word_shingles
+
+
+def _bit_lit(b: int):
+    """Signed 64-bit literal with bit b set (bit 63 wraps to Long.MIN_VALUE)."""
+    v = 1 << b
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return F.lit(v).cast("long")
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group by exact content digest; keep the lowest id as canonical."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_word_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup by identical (sorted, distinct) word set — order/duplication
+    insensitive canonicalization."""
+    sig = F.md5(
+        F.array_join(F.array_sort(F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))), " ")
+    )
+    return (
+        docs.select(F.col(id_col), sig.alias("sig"))
+        .groupBy("sig")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingle_table(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
+    """(doc_id, sig: array<long>) — sig[p] = min over shingles of
+    xxhash64(shingle, p).  Computed via array expressions on the shingle set
+    (no explode shuffle needed for the signature itself)."""
+    sig = F.array(
+        *[
+            F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(p))))
+            for p in range(num_perm)
+        ]
+    )
+    return shingled.select("doc_id", "shingles", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(signed: DataFrame, bands: int = 32, rows_per_band: int = 2) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash)."""
+    banded = signed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def dedup_minhash_lsh(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs with exact Jaccard >= threshold, candidates from
+    minhash LSH.  Output: (id_a, id_b, jaccard) with jaccard rounded to 6dp.
+
+    Miss probability per true pair at J: (1 - J^rows_per_band)^bands — with
+    the defaults (2x32) at J=0.6 that is ~6e-7.
+    """
+    shingled = _shingle_table(docs, text_col, id_col, k)
+    signed = minhash_signatures(shingled, num_perm)
+    cands = lsh_candidate_pairs(signed, bands, rows_per_band)
+    sets_ = shingled.select("doc_id", "shingles")
+    pairs = (
+        cands.join(sets_.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit simhash: sign-aggregate the per-word xxhash64 bits.
+
+    (doc_id, simhash: long).  Pure array expressions per row."""
+    words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # bit b contribution: +1 if set else -1; majority -> bit set
+    bit_cols = []
+    for b in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(_bit_lit(b)) != 0, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(votes > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long")))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim.bitwiseOR(c)
+    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Candidate pairs by block-banding the simhash (pigeonhole: hamming <=
+    blocks-1 guarantees one identical block), verified by exact popcount.
+    Output: (id_a, id_b, hamming)."""
+    sh = simhash(docs, text_col, id_col)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright("simhash", b * width).bitwiseAND(F.lit(mask).cast("long")).alias("key"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.block", "bb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(b, ["block", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Two-cluster-size scaling evidence for the north rule.
+
+Runs the identical north-rule pipeline job (synthetic pages -> bucketize ->
+gap-fill -> STL -> 1h/1d/1w tiers) on the same deterministic input at two
+parallelism levels (default local[8] and local[32] = N and 4N cores — the
+sandbox stand-in for N and 4N executors) and reports rolled-up points/sec at
+each plus the scaling efficiency  thr_4N / (4 * thr_N).
+
+Measurement hygiene: same fixed-seed input both runs; input materialized to
+parquet once (generation excluded); per-run fresh JVM; a warmup job excludes
+one-time planning/codegen; wall time covers decompose+rollup+write only.
+
+Usage: python tools/scaling_bench.py [--urls 4000] [--days 60]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+import pyspark.sql.functions as F
+from stl_decomp_4j_spark.plans.session import build_session
+from stl_decomp_4j_spark.operators.bucketize import bucketize
+from stl_decomp_4j_spark.operators.gapfill import gapfill
+from stl_decomp_4j_spark.operators.rollup import build_tiers
+from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+cores = int(sys.argv[1]); pages_path = sys.argv[2]; out = sys.argv[3]
+spark = build_session(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
+                      shuffle_partitions=max(32, 2 * cores))
+spark.range(10_000_000).select(F.sum("id")).collect()  # JVM warmup
+
+pages = spark.read.parquet(pages_path)
+
+t0 = time.time()
+series = gapfill(bucketize(pages))
+decomposed = stl_decompose_df(series, period=24, seasonal_width=35, robust=False)
+tiers = build_tiers(decomposed)
+points = 0
+for name, df in tiers.items():
+    df.write.mode("overwrite").parquet(f"{{out}}/tier_{{name}}_{{cores}}")
+    points += spark.read.parquet(f"{{out}}/tier_{{name}}_{{cores}}").count()
+wall = time.time() - t0
+print(json.dumps({{"cores": cores, "points": points, "wall_s": wall,
+                   "points_per_sec": points / wall}}))
+spark.stop()
+"""
+
+
+def run(cores: int, pages_path: str, out: str) -> dict:
+    script = WORKER.format(repo=str(REPO))
+    proc = subprocess.run(
+        [sys.executable, "-c", script, str(cores), pages_path, out],
+        capture_output=True, text=True, timeout=3600,
+        env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
+    )
+    if proc.returncode != 0:
+        print(proc.stderr[-4000:], file=sys.stderr)
+        raise RuntimeError(f"run at {cores} cores failed")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--urls", type=int, default=4000)
+    ap.add_argument("--days", type=int, default=60)
+    ap.add_argument("--events-per-url", type=int, default=100)
+    ap.add_argument("--small", type=int, default=8)
+    ap.add_argument("--large", type=int, default=32)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    out = args.out or tempfile.mkdtemp(prefix="scaling_bench_")
+    pages_path = f"{out}/pages"
+
+    # materialize the deterministic input once (excluded from timing)
+    gen = f"""
+import sys; sys.path.insert(0, {str(REPO)!r})
+from stl_decomp_4j_spark.plans.session import build_session
+from stl_decomp_4j_spark.sources.pages import generate_pages
+spark = build_session(app_name="gen", master="local[32]")
+generate_pages(spark, n_urls={args.urls}, days={args.days}, events_per_url={args.events_per_url},
+               hot_url_count=max(2, {args.urls}//100), hot_multiplier=16,
+               partitions=128).write.mode("overwrite").parquet({pages_path!r})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", gen], check=True, capture_output=True, text=True, timeout=1800)
+
+    small = run(args.small, pages_path, out)
+    large = run(args.large, pages_path, out)
+    ratio = args.large // args.small
+    eff = large["points_per_sec"] / (ratio * small["points_per_sec"])
+    result = {
+        "input": {"urls": args.urls, "days": args.days, "events_per_url": args.events_per_url},
+        "small": small,
+        "large": large,
+        "core_ratio": ratio,
+        "scaling_efficiency": round(eff, 4),
+    }
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
