@@ -40,6 +40,9 @@ def make_stl_fn(period: int, **config_kwargs):
     (the reference's validity floor) degrade to trend=value, seasonal=0."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..plans.malloc import tune_malloc
+
+        tune_malloc()  # once per worker process; no-op afterwards
         pdf = pdf.sort_values("ts")
         y = pdf["value"].to_numpy(dtype=float)
         n = len(y)

@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from .malloc import tune_malloc
+
 DEFAULT_SHUFFLE_PARTITIONS = 32
 ARROW_MAX_RECORDS = 10_000
 
@@ -24,6 +26,8 @@ def build_session(
     extra_conf: dict[str, str] | None = None,
     warehouse: str | None = None,
 ) -> SparkSession:
+    tune_malloc()
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "1073741824")
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cores}]"
     shuffle_partitions = shuffle_partitions or int(
