@@ -24,7 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.text import fingerprint, word_shingles
+from ..functions.text import fingerprint, shingle_select
 
 
 def _bit_lit(b: int):
@@ -59,24 +59,31 @@ def dedup_word_set(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Spread rows across the cluster before expensive per-row expressions —
+    a single-file local input otherwise runs the whole stage on one task."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par, F.col(id_col))
+
+
 def _shingle_table(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
+    return shingle_select(_spread(docs, id_col), text_col, id_col, k).filter(F.size("shingles") > 0)
 
 
 def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
-    """(doc_id, sig: array<long>) — sig[p] = min over shingles of
-    xxhash64(shingle, p).  Computed via array expressions on the shingle set
-    (no explode shuffle needed for the signature itself)."""
-    sig = F.array(
-        *[
-            F.array_min(F.transform("shingles", lambda s: F.xxhash64(s, F.lit(p))))
-            for p in range(num_perm)
-        ]
-    )
-    return shingled.select("doc_id", "shingles", sig.alias("sig"))
+    """(doc_id, sig: array<long>) — sig[p] = min over shingles of a 64-bit
+    hash family.
+
+    Shape matters at scale: each shingle is string-hashed ONCE
+    (xxhash64), then the num_perm family members are cheap fixed-width
+    re-hashes of that long, and the mins are a single codegen'd hash
+    aggregate over the exploded shingles — Catalyst higher-order-function
+    lambdas are interpreted per element and were ~20x slower here."""
+    exploded = shingled.select("doc_id", F.explode("shingles").alias("sh"))
+    base = exploded.select("doc_id", F.xxhash64("sh").alias("h"))
+    aggs = [F.min(F.xxhash64(F.col("h"), F.lit(p))).alias(f"mh{p}") for p in range(num_perm)]
+    sigs = base.groupBy("doc_id").agg(*aggs)
+    return sigs.select("doc_id", F.array(*[f"mh{p}" for p in range(num_perm)]).alias("sig"))
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = 32, rows_per_band: int = 2) -> DataFrame:
@@ -139,22 +146,23 @@ def dedup_minhash_lsh(
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit simhash: sign-aggregate the per-word xxhash64 bits.
 
-    (doc_id, simhash: long).  Pure array expressions per row."""
+    (doc_id, simhash: long).  Explode distinct words -> one codegen'd hash
+    aggregate with a vote column per bit (sum of +1/-1), then reassemble the
+    fingerprint — interpreted per-element array lambdas don't scale."""
     words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    # bit b contribution: +1 if set else -1; majority -> bit set
-    bit_cols = []
+    exploded = _spread(docs, id_col).select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
+    hashed = exploded.select("doc_id", F.xxhash64("w").alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long")) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    votes = hashed.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
     for b in range(bits):
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(_bit_lit(b)) != 0, 1).otherwise(-1),
-        )
-        bit_cols.append(F.when(votes > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long")))
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim.bitwiseOR(c)
-    return docs.select(F.col(id_col).alias("doc_id"), sim.alias("simhash"))
+        sim = sim.bitwiseOR(F.when(F.col(f"v{b}") > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long")))
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -147,12 +147,20 @@ def embedding_near_dup_pairs(
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()
     )
-    vecs = base.select("vec_id", "v")
+    # precompute per-vector norms once — the exact-verify pass then only
+    # evaluates one dot product per candidate pair instead of three
+    vecs = base.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
     pairs = (
-        cands.join(vecs.withColumnRenamed("vec_id", "id_a").withColumnRenamed("v", "va"), "id_a")
-        .join(vecs.withColumnRenamed("vec_id", "id_b").withColumnRenamed("v", "vb"), "id_b")
+        cands.join(
+            vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
+            "id_a",
+        ).join(
+            vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
+            "id_b",
+        )
     )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
