@@ -12,7 +12,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .cyclic import cyclic_subseries_smooth
-from .loess import loess_smooth
+from .loess import loess_smooth, loess_smooth_exog
 from .settings import StlConfig, build_stl_config
 from .sma import simple_moving_average
 
@@ -60,51 +60,87 @@ def _residual_weights(data: np.ndarray, seasonal: np.ndarray, trend: np.ndarray)
     return w
 
 
-def stl_decompose(data: np.ndarray, config: StlConfig) -> Decomposition:
-    """Run the STL inner/outer iteration on one series."""
+def stl_decompose(data: np.ndarray, config: StlConfig, exog: np.ndarray | None = None) -> Decomposition:
+    """Run the STL inner/outer iteration on one series.
+
+    ``exog``: optional (n_exog, n) exogenous regressors.  With exog present
+    the inner-loop order flips (removeSeasonality -> updateSeasonalAndTrend
+    -> smoothSeasonalSubCycles, ref: SeasonalTrendLoess.java:752-765), the
+    trend smoother runs the exogenous WLS with jump forced to 1 (:849-851),
+    and its width gains one per regressor (:463-466).  The cyclic smoother
+    never receives exog in the reference's STL path (:473-479)."""
     y = np.asarray(data, dtype=np.float64)
     n = len(y)
     period = config.period
+    if exog is not None:
+        exog = np.asarray(exog, dtype=np.float64)
+        if exog.size == 0:
+            exog = None
 
     trend = np.zeros(n)
     seasonal = np.zeros(n)
     weights = np.ones(n)
+    extended = np.zeros(n + 2 * period)
+
+    def smooth_subcycles(rw):
+        detrend = y - trend
+        return cyclic_subseries_smooth(
+            detrend,
+            period,
+            config.seasonal.width,
+            config.seasonal.degree,
+            config.seasonal.jump,
+            n_backward=1,
+            n_forward=1,
+            weights=rw,
+        )
+
+    def remove_seasonality(ext):
+        # lowpass: 2x SMA(period) + SMA(3) erode the extension back to n,
+        # then LOESS removes what seasonal smoothing leaked into the mean
+        pass1 = simple_moving_average(ext, period)
+        pass2 = simple_moving_average(pass1, period)
+        pass3 = simple_moving_average(pass2, 3)
+        return loess_smooth(
+            pass3, config.lowpass.width, config.lowpass.degree, config.lowpass.jump
+        )
+
+    def update_seasonal_and_trend(ext, deseasonalized, rw):
+        nonlocal seasonal, trend
+        seasonal = ext[period : period + n] - deseasonalized
+        trend_input = y - seasonal
+        trend_width = config.trend.width + (len(exog) if exog is not None else 0)
+        if exog is not None:
+            trend = loess_smooth_exog(
+                trend_input,
+                exog,
+                trend_width,
+                config.trend.degree,
+                jump=1,
+                external_weights=rw,
+            )
+        else:
+            trend = loess_smooth(
+                trend_input,
+                trend_width,
+                config.trend.degree,
+                config.trend.jump,
+                external_weights=rw,
+            )
 
     outer = 0
     while True:
         use_rw = outer > 0
         rw = weights if use_rw else None
         for _ in range(config.inner_iterations):
-            # seasonal: smooth the detrended cyclic sub-series, extrapolating
-            # one period beyond each end
-            detrend = y - trend
-            extended = cyclic_subseries_smooth(
-                detrend,
-                period,
-                config.seasonal.width,
-                config.seasonal.degree,
-                config.seasonal.jump,
-                n_backward=1,
-                n_forward=1,
-                weights=rw,
-            )
-            # lowpass: 2x SMA(period) + SMA(3) erode the extension back to n,
-            # then LOESS removes what seasonal smoothing leaked into the mean
-            pass1 = simple_moving_average(extended, period)
-            pass2 = simple_moving_average(pass1, period)
-            pass3 = simple_moving_average(pass2, 3)
-            deseasonalized = loess_smooth(
-                pass3, config.lowpass.width, config.lowpass.degree, config.lowpass.jump
-            )
-            seasonal = extended[period : period + n] - deseasonalized
-            # trend: LOESS of the deseasonalized data
-            trend = loess_smooth(
-                y - seasonal,
-                config.trend.width,
-                config.trend.degree,
-                config.trend.jump,
-                external_weights=rw,
-            )
+            if exog is not None:
+                deseasonalized = remove_seasonality(extended)
+                update_seasonal_and_trend(extended, deseasonalized, rw)
+                extended = smooth_subcycles(rw)
+            else:
+                extended = smooth_subcycles(rw)
+                deseasonalized = remove_seasonality(extended)
+                update_seasonal_and_trend(extended, deseasonalized, rw)
 
         outer += 1
         if outer > config.outer_iterations:
@@ -118,11 +154,12 @@ def stl_decompose(data: np.ndarray, config: StlConfig) -> Decomposition:
 def decompose(
     data: np.ndarray,
     period: int,
+    exog: np.ndarray | None = None,
     **kwargs,
 ) -> Decomposition:
     """Convenience: derive the config for this series length and decompose."""
     config = build_stl_config(len(data), period, **kwargs)
-    return stl_decompose(data, config)
+    return stl_decompose(data, config, exog=exog)
 
 
 def periodic_decomposition(data: np.ndarray, period: int) -> Decomposition:

@@ -115,6 +115,175 @@ def smooth_windows(
     return ys, ok
 
 
+def _neighborhood_only(
+    vals: np.ndarray,
+    xs: np.ndarray,
+    lefts: np.ndarray,
+    width: int,
+    data_len: int,
+    ext_w: np.ndarray | None,
+):
+    """Normalized tricube neighborhood weights (pre degree-update): returns
+    (w, ok, lam)."""
+    R, L = vals.shape
+    xs = np.asarray(xs, dtype=np.float64)
+    lefts = np.asarray(lefts, dtype=np.int64)
+    offs = np.arange(L, dtype=np.float64)
+    fidx = lefts[:, None].astype(np.float64) + offs[None, :]
+    rights = lefts + L - 1
+    lam = np.maximum(xs - lefts, rights - xs)
+    if width > data_len:
+        lam = lam + (width - data_len) // 2
+    delta = np.abs(xs[:, None] - fidx)
+    lam_col = lam[:, None]
+    frac = np.divide(delta, lam_col, out=np.zeros_like(delta), where=lam_col > 0)
+    tri = 1.0 - frac * frac * frac
+    w = tri * tri * tri
+    np.copyto(w, 1.0, where=delta <= 0.001 * lam_col)
+    np.copyto(w, 0.0, where=delta > 0.999 * lam_col)
+    if ext_w is not None:
+        w *= ext_w
+    total = _seqsum(w)
+    ok = total > 0.0
+    w /= np.where(ok, total, 1.0)[:, None]
+    return w, ok, lam
+
+
+def _householder_qr_solve(A: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Least-squares solve replicating commons-math's QRDecomposition
+    (Householder, singularity threshold 0) bit-for-bit, because the
+    reference's exogenous goldens encode its behavior on rank-deficient
+    windows (duplicate regressor columns -> rDiag ~ 1e-16 -> division
+    amplifies rounding noise into the output).  Raises LinAlgError exactly
+    when commons-math would throw SingularMatrixException (rDiag == 0), and
+    the caller falls back to the SVD pseudoinverse as the reference does.
+    (ref: LoessInterpolator.leastSquaresEstimation, :341-354)"""
+    m, n = A.shape
+    np.seterr(invalid="ignore", divide="ignore")  # Java silently makes NaN here, then throws at the rDiag check
+    qrt = [[float(A[r, c]) for r in range(m)] for c in range(n)]  # transposed
+    r_diag = [0.0] * n
+    for minor in range(min(m, n)):
+        col = qrt[minor]
+        norm_sqr = 0.0
+        for row in range(minor, m):
+            norm_sqr += col[row] * col[row]
+        a = -np.sqrt(norm_sqr) if col[minor] > 0 else np.sqrt(norm_sqr)
+        r_diag[minor] = a
+        if a != 0.0:
+            col[minor] -= a
+            for c in range(minor + 1, n):
+                nxt = qrt[c]
+                alpha = 0.0
+                for row in range(minor, m):
+                    alpha -= nxt[row] * col[row]
+                alpha /= a * col[minor]
+                for row in range(minor, m):
+                    nxt[row] -= alpha * col[row]
+    yv = [float(v) for v in y]
+    for minor in range(min(m, n)):
+        col = qrt[minor]
+        dot = 0.0
+        for row in range(minor, m):
+            dot += yv[row] * col[row]
+        dot /= r_diag[minor] * col[minor]
+        for row in range(minor, m):
+            yv[row] += dot * col[row]
+    x = [0.0] * n
+    for row in range(n - 1, -1, -1):
+        rd = r_diag[row]
+        if abs(rd) <= 0.0:
+            raise np.linalg.LinAlgError("singular")
+        yv[row] /= rd
+        y_row = yv[row]
+        col = qrt[row]
+        x[row] = y_row
+        for i in range(row):
+            yv[i] -= y_row * col[i]
+    return np.array(x)
+
+
+def smooth_one_point_exog(
+    data: np.ndarray,
+    exog: np.ndarray,
+    x: float,
+    left: int,
+    right: int,
+    w_row: np.ndarray,
+    degree: int,
+    output_non_exog: bool,
+) -> float:
+    """Weighted least-squares fit with exogenous regressors evaluated at x
+    (ref: LoessInterpolator.smoothOnePointExogModel, :292-354): regressor
+    matrix [1, (i/n)^d, exog...], sqrt-weight rows floored at 1e-20, OLS with
+    no intercept (SVD lstsq ~ the reference's pseudoinverse fallback), then
+    optionally only the non-exogenous (const+trend) part of the fit."""
+    n = len(data)
+    L = right - left + 1
+    xp = (left + np.arange(L, dtype=np.float64)) / n
+    cols = [np.ones(L)]
+    for d in range(1, degree + 1):
+        cols.append(xp**d)
+    for row in exog:
+        cols.append(row[left : right + 1])
+    A = np.column_stack(cols)
+    sw = np.sqrt(np.maximum(np.abs(w_row), 1e-20))
+    Aw = A * sw[:, None]
+    yw = data[left : right + 1] * sw
+    try:
+        params = _householder_qr_solve(Aw, yw)
+    except np.linalg.LinAlgError:
+        params, *_ = np.linalg.lstsq(Aw, yw, rcond=None)
+    k = degree + 1 if output_non_exog else A.shape[1]
+    row = A[int(x - left), :k]
+    acc = 0.0
+    for i in range(k):
+        acc += row[i] * params[i]
+    return float(acc)
+
+
+def loess_smooth_exog(
+    data: np.ndarray,
+    exog: np.ndarray,
+    width: int,
+    degree: int = 1,
+    jump: int = 1,
+    external_weights: np.ndarray | None = None,
+    output_non_exog: bool = False,
+) -> np.ndarray:
+    """LoessSmoother.smooth with exogenous inputs: each evaluation point runs
+    the exogenous WLS (always linear in x — the reference hardcodes degree 1
+    in the smoothOnePoint dispatch, LoessInterpolator.java:158-160); windows
+    with zero lambda fall back to the plain weighted average."""
+    data = np.asarray(data, dtype=np.float64)
+    n = len(data)
+    if n == 1:
+        return data.copy()
+    jump, window_len, xs, xs_all, lefts_all, tail = _eval_geometry(n, width, jump)
+
+    idx = lefts_all[:, None] + np.arange(window_len)[None, :]
+    vals = data[idx]
+    ext = external_weights[idx] if external_weights is not None else None
+    w, ok, lam = _neighborhood_only(vals, xs_all.astype(np.float64), lefts_all, width, n, ext)
+
+    ys = np.empty(len(xs_all))
+    for r in range(len(xs_all)):
+        if not ok[r]:
+            ys[r] = data[int(xs_all[r])]
+        elif lam[r] > 0:
+            ys[r] = smooth_one_point_exog(
+                data, exog, float(xs_all[r]), int(lefts_all[r]),
+                int(lefts_all[r]) + window_len - 1, w[r], 1, output_non_exog,
+            )
+        else:
+            ys[r] = float(np.cumsum(w[r] * vals[r])[-1])
+
+    if jump == 1:
+        return ys
+    out = np.empty(n, dtype=np.float64)
+    _interpolate_jumps(out[None, :], xs, ys[None, :], jump, tail)
+    return out
+
+
 def smooth_at_points(
     data: np.ndarray,
     xs: np.ndarray,

@@ -45,7 +45,7 @@ pages = spark.read.parquet(pages_path)
 
 t0 = time.time()
 series = gapfill(bucketize(pages))
-decomposed = stl_decompose_df(series, period=24, seasonal_width=35, robust=False)
+decomposed = stl_decompose_df(series, period=24, seasonal_width=35, robust=True)
 tiers = build_tiers(decomposed)
 points = 0
 for name, df in tiers.items():
@@ -73,9 +73,9 @@ def run(cores: int, pages_path: str, out: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--urls", type=int, default=4000)
+    ap.add_argument("--urls", type=int, default=8000)
     ap.add_argument("--days", type=int, default=60)
-    ap.add_argument("--events-per-url", type=int, default=100)
+    ap.add_argument("--events-per-url", type=int, default=50)
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
     ap.add_argument("--out", default=None)
