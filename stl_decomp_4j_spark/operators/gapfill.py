@@ -20,11 +20,26 @@ from pyspark.sql import DataFrame
 _INTERVALS = {"hour": "interval 1 hour", "day": "interval 1 day", "week": "interval 7 days"}
 
 
-def gapfill(buckets: DataFrame, granularity: str = "hour", fill_value: float = 0.0) -> DataFrame:
-    """Dense (url, ts, value) grid; value = cnt where observed else fill."""
+def gapfill(
+    buckets: DataFrame,
+    granularity: str = "hour",
+    fill_value: float = 0.0,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dense (url, ts, value) grid; value = cnt where observed else fill.
+
+    The bounds table (one row per url) is explicitly repartitioned by url
+    BEFORE the explode: the grid fan-out multiplies rows ~grid-length-fold,
+    and AQE would otherwise coalesce the tiny bounds shuffle into one
+    partition by byte size — serializing the fan-out, the join, and the
+    downstream CPU-heavy STL stage onto one core.  A user-specified
+    repartition count is exempt from AQE coalescing and is satisfied by the
+    grouped-map UDF's url clustering, so no further shuffle follows."""
     interval = _INTERVALS[granularity]
+    spark = buckets.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism * 4
     bounds = buckets.groupBy("url").agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
-    grid = bounds.select(
+    grid = bounds.repartition(partitions, "url").select(
         "url", F.explode(F.sequence("t0", "t1", F.expr(interval))).alias("ts")
     )
     return grid.join(buckets, ["url", "ts"], "left").select(

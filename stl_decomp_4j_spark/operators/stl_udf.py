@@ -67,6 +67,19 @@ def make_stl_fn(period: int, **config_kwargs):
     return fn
 
 
-def stl_decompose_df(series: DataFrame, period: int, **config_kwargs) -> DataFrame:
-    """(url, ts, value) dense series -> + (trend, seasonal, residual, weight)."""
-    return series.groupBy("url").applyInPandas(make_stl_fn(period, **config_kwargs), STL_SCHEMA)
+def stl_decompose_df(series: DataFrame, period: int, partitions: int | None = None, **config_kwargs) -> DataFrame:
+    """(url, ts, value) dense series -> + (trend, seasonal, residual, weight).
+
+    The decomposition is CPU-bound per group, so the stage's parallelism must
+    not be byte-based: AQE happily coalesces a few-MB shuffle into one
+    partition, serializing hours of NumPy onto one core.  An explicit
+    repartition by url pins the partition count (user-specified repartitions
+    are exempt from AQE coalescing) and the groupBy reuses that hash
+    partitioning, so no extra shuffle is introduced."""
+    spark = series.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism * 4
+    return (
+        series.repartition(partitions, "url")
+        .groupBy("url")
+        .applyInPandas(make_stl_fn(period, **config_kwargs), STL_SCHEMA)
+    )
