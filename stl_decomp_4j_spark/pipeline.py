@@ -89,16 +89,30 @@ def run_pipeline(
         # column pruning: only url + warc_ts enter the series path
         slice_pages = pages_b.filter(F.col("bucket") == bucket).select("url", "warc_ts")
         decomposed = decompose_pages(slice_pages, cfg)
-        tiers = build_tiers(decomposed)
+        # each tier is MATERIALIZED and the next tier derives from the
+        # materialized table — the STL stage runs exactly once per bucket and
+        # coarser tiers read the already-reduced previous tier (the
+        # continuous-aggregate pattern; recomputing the chain per tier
+        # tripled the dominant UDF cost)
+        from .operators.rollup import hourly_tier, rollup_tier
+
         n_points = 0
-        for tier_name, tier_df in tiers.items():
+        tier_df = hourly_tier(decomposed)
+        for tier_name, next_granularity in (("1h", "day"), ("1d", "week"), ("1w", None)):
             out = tier_df.withColumn("run_id", F.lit(run_id)).withColumn("bucket", F.lit(bucket))
             write_table(out, f"{out_root}/tier_{tier_name}", partition_by=["bucket"], mode="overwrite_partitions")
+            materialized = (
+                spark.read.parquet(f"{out_root}/tier_{tier_name}")
+                .filter(F.col("bucket") == bucket)
+                .drop("run_id", "bucket")
+            )
             if cfg.compress:
-                chunks = compress_tier(tier_df.select("url", "ts", *[f"sum_{c}" for c in ("value", "trend", "seasonal", "residual")]))
+                chunks = compress_tier(materialized.select("url", "ts", *[f"sum_{c}" for c in ("value", "trend", "seasonal", "residual")]))
                 chunks = chunks.withColumn("run_id", F.lit(run_id)).withColumn("bucket", F.lit(bucket))
                 write_table(chunks, f"{out_root}/gorilla_{tier_name}", partition_by=["bucket"], mode="overwrite_partitions")
-            n_points += spark.read.parquet(f"{out_root}/tier_{tier_name}").filter(F.col("bucket") == bucket).count()
+            n_points += materialized.count()
+            if next_granularity:
+                tier_df = rollup_tier(materialized, next_granularity)
         manifest.mark(run_id, bucket, "done", points=n_points, wall_s=time.time() - t0)
         result.buckets_run.append(bucket)
 

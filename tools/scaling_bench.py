@@ -46,11 +46,15 @@ pages = spark.read.parquet(pages_path)
 t0 = time.time()
 series = gapfill(bucketize(pages))
 decomposed = stl_decompose_df(series, period=24, seasonal_width=35, robust=True)
-tiers = build_tiers(decomposed)
+from stl_decomp_4j_spark.operators.rollup import hourly_tier, rollup_tier
 points = 0
-for name, df in tiers.items():
-    df.write.mode("overwrite").parquet(f"{{out}}/tier_{{name}}_{{cores}}")
-    points += spark.read.parquet(f"{{out}}/tier_{{name}}_{{cores}}").count()
+tier = hourly_tier(decomposed)
+for name, nxt in (("1h", "day"), ("1d", "week"), ("1w", None)):
+    tier.write.mode("overwrite").parquet(f"{{out}}/tier_{{name}}_{{cores}}")
+    materialized = spark.read.parquet(f"{{out}}/tier_{{name}}_{{cores}}")
+    points += materialized.count()
+    if nxt:
+        tier = rollup_tier(materialized, nxt)
 wall = time.time() - t0
 print(json.dumps({{"cores": cores, "points": points, "wall_s": wall,
                    "points_per_sec": points / wall}}))
