@@ -1,16 +1,14 @@
 """Structured Streaming ingestion: watermarked streaming bucketize must agree
-with the batch bucketize on every finalized window, and late data within the
-watermark must be incorporated."""
+with the batch bucketize on every finalized window, with late arrivals inside
+the watermark incorporated and windows near the stream head left open."""
 import pyspark.sql.functions as F
-import pytest
 
 from stl_decomp_4j_spark.operators.bucketize import bucketize
 from stl_decomp_4j_spark.sources.pages import generate_pages
 from stl_decomp_4j_spark.streaming.ingest import read_pages_stream, start_bucket_stream
 
 
-@pytest.mark.parametrize("n_batches", [3])
-def test_stream_bucketize_matches_batch(spark, tmp_path, n_batches):
+def test_stream_bucketize_matches_batch(spark, tmp_path):
     src = str(tmp_path / "incoming")
     out = str(tmp_path / "buckets")
     ckpt = str(tmp_path / "ckpt")
@@ -18,24 +16,40 @@ def test_stream_bucketize_matches_batch(spark, tmp_path, n_batches):
     pages = generate_pages(spark, n_urls=8, days=3, events_per_url=60, hot_url_count=1, hot_multiplier=4)
     pages.cache().count()
 
-    # arrival order != event order: split by hash, not time (late data case)
-    for i in range(n_batches):
-        chunk = pages.filter(F.pmod(F.xxhash64("url", "warc_ts"), F.lit(n_batches)) == i)
+    # arrival: three time-ordered chunks, but events within 30 minutes of a
+    # chunk boundary arrive one batch LATE — inside the 2h watermark, so the
+    # stream must still count them
+    bounds = pages.agg(F.min("warc_ts").alias("t0"), F.max("warc_ts").alias("t1")).collect()[0]
+    t0, t1 = bounds["t0"], bounds["t1"]
+    span = (t1 - t0).total_seconds()
+    third = F.floor((F.col("warc_ts").cast("long") - F.lit(int(t0.timestamp()))) / F.lit(span / 3 + 1)).cast("int")
+    near_boundary = (
+        ((F.col("warc_ts").cast("long") - F.lit(int(t0.timestamp()))) % F.lit(int(span / 3 + 1)))
+        > F.lit(int(span / 3 + 1) - 1800)
+    )
+    tagged = pages.withColumn("batch", F.when(near_boundary, third + 1).otherwise(third))
+
+    for i in range(4):
+        chunk = tagged.filter(F.col("batch") == i).drop("batch")
+        if chunk.count() == 0:
+            continue
         chunk.write.mode("append").parquet(src)
-        q = start_bucket_stream(read_pages_stream(spark, src), out, ckpt, watermark="1 hour")
-        q.awaitTermination(120)
+        q = start_bucket_stream(read_pages_stream(spark, src), out, ckpt, watermark="2 hours")
+        q.awaitTermination(180)
 
     got = spark.read.parquet(out).groupBy("url", "ts").agg(F.sum("cnt").alias("cnt"))
     batch = bucketize(pages)
 
-    # every emitted window must match the batch count exactly (append mode
-    # emits once, after the watermark passes — so emitted == finalized)
+    # every emitted (finalized) window must match the batch count exactly
     joined = got.alias("s").join(batch.alias("b"), ["url", "ts"], "left")
     mismatches = joined.filter(
         (F.col("b.cnt").isNull()) | (F.col("s.cnt") != F.col("b.cnt"))
     ).count()
     assert mismatches == 0
 
-    # and the stream must have finalized the overwhelming majority of windows
-    # (only windows above the final watermark may still be open)
-    assert got.count() >= batch.count() * 0.8
+    # only windows above the final watermark (max_ts - 2h) may still be open
+    open_allowed = batch.filter(
+        F.col("ts") >= F.lit(t1) - F.expr("interval 3 hours")
+    ).count()
+    assert got.count() >= batch.count() - open_allowed
+    assert got.count() > 0
