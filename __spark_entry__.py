@@ -214,7 +214,7 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
 def q_simhash_pairs(spark, sf_dir):
     from stl_decomp_4j_spark.operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(spark.read.parquet(_t(sf_dir, "documents")), max_hamming=10)
+    return simhash_near_pairs(spark.read.parquet(_t(sf_dir, "documents")), max_hamming=4)
 
 
 def q_stl_decompose_events(spark, sf_dir):
