@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import commons_svd
+
 
 def _seqsum(a: np.ndarray) -> np.ndarray:
     """Left-to-right sequential row sum (bit-identical to the reference's
@@ -215,7 +217,7 @@ def smooth_one_point_exog(
     """Weighted least-squares fit with exogenous regressors evaluated at x
     (ref: LoessInterpolator.smoothOnePointExogModel, :292-354): regressor
     matrix [1, (i/n)^d, exog...], sqrt-weight rows floored at 1e-20, OLS with
-    no intercept (SVD lstsq ~ the reference's pseudoinverse fallback), then
+    no intercept (bit-faithful commons-math SVD pseudoinverse fallback), then
     optionally only the non-exogenous (const+trend) part of the fit."""
     n = len(data)
     L = right - left + 1
@@ -232,7 +234,10 @@ def smooth_one_point_exog(
     try:
         params = _householder_qr_solve(Aw, yw)
     except np.linalg.LinAlgError:
-        params, *_ = np.linalg.lstsq(Aw, yw, rcond=None)
+        # commons-math falls back to its SVD pseudoinverse here; the chaotic
+        # step-exogenous fixture requires that exact arithmetic, not LAPACK's
+        # (see commons_svd module docstring).
+        params = np.array(commons_svd.svd_solve(Aw, yw))
     k = degree + 1 if output_non_exog else A.shape[1]
     row = A[int(x - left), :k]
     acc = 0.0

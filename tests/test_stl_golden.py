@@ -202,18 +202,15 @@ def test_builder_validation():
 
 def test_exogenous_regression_1():
     # ref: StlMultivariateTest.java:146-171 — one step-shift exogenous input,
-    # 80 pts, period 4, sw 5, ni=1, no=15.
+    # 80 pts, period 4, sw 5, ni=1, no=15, eps 1e-2.
     #
-    # The reference asserts 1e-2 against ITS OWN commons-math arithmetic.
     # This configuration is numerically chaotic: trend windows fully inside
     # the step have a duplicate regressor column; commons-math's threshold-0
-    # QR then either returns cancellation noise (reproduced here bit-for-bit
-    # by _householder_qr_solve) or throws into its SVD pseudoinverse, whose
-    # last-ulp rounding differs from LAPACK's — and 15 robust iterations
-    # amplify that ~1e-13 seed through the noise windows into O(1) at a few
-    # indices.  We therefore assert the distribution (mean) tightly and the
-    # worst point loosely; the well-conditioned two-regressor fixture below
-    # passes at the reference's own tolerance.
+    # QR then either returns cancellation noise (reproduced bit-for-bit by
+    # _householder_qr_solve) or throws into its SVD pseudoinverse (reproduced
+    # bit-for-bit by commons_svd.svd_solve — LAPACK's lstsq differs at the
+    # last ulp, and 15 robust iterations amplify that seed to O(0.1)).  With
+    # both solver paths bit-faithful we pass at the reference's own 1e-2.
     fx = load("multivariate_golden.json")
     data = np.array(fx["test_data_1"][:80])
     exog = np.array(fx["exog_inputs_1"])
@@ -223,9 +220,7 @@ def test_exogenous_regression_1():
         (d.trend, fx["trend_exog_1"]),
         (d.residual, fx["residual_1"]),
     ]:
-        diff = np.abs(got - np.array(ref))
-        assert diff.mean() < 0.05
-        assert diff.max() < 1.5
+        assert np.max(np.abs(got - np.array(ref))) < 1.0e-2
 
 
 def test_exogenous_regression_2():
