@@ -301,6 +301,126 @@ def q_stl_fit_stats(spark, sf_dir):
     return series.groupBy("url").applyInPandas(fn, schema)
 
 
+def q_stl_periodic(spark, sf_dir):
+    """A23: diagnostic strictly-periodic decomposition (periodic seasonal,
+    ni=1, no=0 — ref SeasonalTrendLoess.performPeriodicDecomposition,
+    main/stl/SeasonalTrendLoess.java:494-516)."""
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+    series = _events_gapfilled(spark, sf_dir)
+    out = stl_decompose_df(
+        series, period=24, periodic=True, inner_iterations=1, outer_iterations=0
+    )
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+    )
+
+
+def q_stl_robust_periodic(spark, sf_dir):
+    """A23: robust periodic diagnostic (ni=1, no=1 — ref
+    performRobustPeriodicDecomposition, main/stl/SeasonalTrendLoess.java:523-545)."""
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+    series = _events_gapfilled(spark, sf_dir)
+    out = stl_decompose_df(
+        series, period=24, periodic=True, inner_iterations=1, outer_iterations=1
+    )
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
+def q_stl_seasonal_smooth(spark, sf_dir):
+    """A19: post-hoc quadratic loess smoothing of the seasonal component with
+    endpoint restoration + residual recompute (ref Decomposition.smoothSeasonal,
+    main/stl/SeasonalTrendLoess.java:686-735)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType, TimestampType
+
+    from stl_decomp_4j_spark.stl import decompose
+
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("seasonal_smoothed", DoubleType()),
+            StructField("residual", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from stl_decomp_4j_spark.plans.malloc import tune_malloc
+
+        tune_malloc()
+        pdf = pdf.sort_values("ts")
+        y = pdf["value"].to_numpy(dtype=float)
+        d = decompose(y, 24, seasonal_width=35, robust=False)
+        d.smooth_seasonal(15)
+        return pd.DataFrame(
+            {
+                "url": pdf["url"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "seasonal_smoothed": d.seasonal.round(6),
+                "residual": d.residual.round(6),
+            }
+        )
+
+    return _fmt_ts(_events_gapfilled(spark, sf_dir).groupBy("url").applyInPandas(fn, schema))
+
+
+def q_stl_exogenous(spark, sf_dir):
+    """A2/A16: STL with exogenous regressors — flipped inner loop, exogenous
+    WLS trend (ref main/stl/SeasonalTrendLoess.java:752-765,
+    LoessInterpolator.java:292-354).  Regressors are deterministic functions
+    of the grid timestamp (weekend indicator + daily sine), so the query is
+    reproducible without extra inputs."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType, TimestampType
+
+    from stl_decomp_4j_spark.stl import decompose
+
+    schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("trend", DoubleType()),
+            StructField("seasonal", DoubleType()),
+            StructField("residual", DoubleType()),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from stl_decomp_4j_spark.plans.malloc import tune_malloc
+
+        tune_malloc()
+        pdf = pdf.sort_values("ts")
+        y = pdf["value"].to_numpy(dtype=float)
+        ts = pd.to_datetime(pdf["ts"])
+        weekend = (ts.dt.dayofweek >= 5).to_numpy(dtype=float)
+        daily = np.sin(2.0 * np.pi * ts.dt.hour.to_numpy(dtype=float) / 24.0)
+        exog = np.vstack([weekend, daily])
+        d = decompose(y, 24, exog=exog, seasonal_width=35, inner_iterations=2, outer_iterations=0)
+        return pd.DataFrame(
+            {
+                "url": pdf["url"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "trend": d.trend.round(6),
+                "seasonal": d.seasonal.round(6),
+                "residual": d.residual.round(6),
+            }
+        )
+
+    return _fmt_ts(_events_gapfilled(spark, sf_dir).groupBy("url").applyInPandas(fn, schema))
+
+
 def q_multimodal_features(spark, sf_dir):
     from stl_decomp_4j_spark.operators.multimodal import attach_media, extract_features
 
@@ -345,6 +465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_decompose_events": q_stl_decompose_events,
         "stl_tier_1d": q_stl_tier_1d,
         "stl_fit_stats": q_stl_fit_stats,
+        "stl_periodic": q_stl_periodic,
+        "stl_robust_periodic": q_stl_robust_periodic,
+        "stl_seasonal_smooth": q_stl_seasonal_smooth,
+        "stl_exogenous": q_stl_exogenous,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "multimodal_features": q_multimodal_features,
     }
