@@ -29,7 +29,7 @@ def main() -> None:
     ap.add_argument("--robust", action="store_true")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--resume", action="store_true")
-    ap.add_argument("--granularity", default="hour")
+    ap.add_argument("--granularity", default="hour", choices=["hour", "day", "week"])
     ap.add_argument("--no-compress", action="store_true")
     args = ap.parse_args()
 

@@ -17,26 +17,33 @@ COMPONENTS = ["value", "trend", "seasonal", "residual"]
 
 
 def hourly_tier(decomposed: DataFrame) -> DataFrame:
-    """Tier 1h: the decomposed hourly grid itself, in tier schema (sum == the
-    single grid point, cnt == 1)."""
-    cols = [F.col("url"), F.col("ts")]
-    for c in COMPONENTS:
-        cols += [
-            F.col(c).alias(f"sum_{c}"),
-            F.col(c).alias(f"min_{c}"),
-            F.col(c).alias(f"max_{c}"),
-        ]
-    return decomposed.select(*cols, F.lit(1).cast("long").alias("cnt"))
+    """Tier 1h: the decomposed hourly grid itself, stored COMPACT — each
+    component once plus cnt == 1.  At the finest tier sum == min == max ==
+    the grid point, so the sum_/min_/max_ triplet would triple the bytes of
+    the engine's largest write (and at 10^12-doc scale its largest table) for
+    zero information; rollup_tier reconstitutes the triplet when deriving the
+    next tier."""
+    return decomposed.select(
+        "url", "ts", *COMPONENTS, F.lit(1).cast("long").alias("cnt")
+    )
 
 
 def rollup_tier(tier: DataFrame, granularity: str) -> DataFrame:
-    """Aggregate a tier into the next coarser granularity ('day' or 'week')."""
+    """Aggregate a tier into the next coarser granularity ('day' or 'week').
+
+    Accepts either the compact 1h schema (component columns, from which
+    sum/min/max all derive) or the full sum_/min_/max_ schema of coarser
+    tiers; output is always the full schema."""
+    compact = COMPONENTS[0] in tier.columns
     aggs = []
     for c in COMPONENTS:
+        src_sum, src_min, src_max = (
+            (c, c, c) if compact else (f"sum_{c}", f"min_{c}", f"max_{c}")
+        )
         aggs += [
-            F.sum(f"sum_{c}").alias(f"sum_{c}"),
-            F.min(f"min_{c}").alias(f"min_{c}"),
-            F.max(f"max_{c}").alias(f"max_{c}"),
+            F.sum(src_sum).alias(f"sum_{c}"),
+            F.min(src_min).alias(f"min_{c}"),
+            F.max(src_max).alias(f"max_{c}"),
         ]
     aggs.append(F.sum("cnt").alias("cnt"))
     return (

@@ -67,6 +67,80 @@ def make_stl_fn(period: int, **config_kwargs):
     return fn
 
 
+_STEP_SECONDS = {"hour": 3600, "day": 86400, "week": 604800}
+
+
+def make_sparse_stl_fn(period: int, granularity: str, fill_value: float, **config_kwargs):
+    """Fused gap-fill + STL per-group kernel.
+
+    The distributed gap-fill (operators/gapfill.py) EXPANDS sparse observed
+    buckets ~grid-length-fold before the UDF: an extra shuffle, an
+    explode+join over the full dense grid, and a dense-grid-sized Arrow
+    transfer into Python.  But the UDF already receives every bucket of a url
+    in one group, and building the dense grid from them is a trivial NumPy
+    reindex — so the pipeline fuses gap-fill into the kernel and ships only
+    observed rows across the Arrow boundary (e.g. 400k rows in, 11.5M grid
+    points computed in-kernel on the 8000-url/60-day workload).  Semantics
+    are identical to gapfill(): per-url [min ts, max ts] grid, observed cnt
+    else fill_value."""
+    step = _STEP_SECONDS[granularity]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from ..plans.malloc import tune_malloc
+
+        tune_malloc()
+        ts = pdf["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        cnt = pdf["cnt"].to_numpy(dtype=float)
+        t0 = ts.min()
+        grid = np.arange(t0, ts.max() + 1, step)
+        y = np.full(len(grid), float(fill_value))
+        y[(ts - t0) // step] = cnt  # bucket ts are exact grid multiples
+        n = len(y)
+        if n >= 2 * period:
+            config = build_stl_config(n, period, **config_kwargs)
+            d = stl_decompose(y, config)
+            trend, seasonal, residual, weight = d.trend, d.seasonal, d.residual, d.weights
+        else:
+            trend, seasonal, residual, weight = y, 0.0 * y, 0.0 * y, 1.0 + 0.0 * y
+        return pd.DataFrame(
+            {
+                "url": np.repeat(pdf["url"].iloc[0], n),
+                "ts": grid.astype("datetime64[s]"),
+                "value": y,
+                "trend": trend,
+                "seasonal": seasonal,
+                "residual": residual,
+                "weight": weight,
+            }
+        )
+
+    return fn
+
+
+def stl_decompose_sparse_df(
+    buckets: DataFrame,
+    period: int,
+    granularity: str = "hour",
+    fill_value: float = 0.0,
+    partitions: int | None = None,
+    **config_kwargs,
+) -> DataFrame:
+    """bucketize() output (url, ts, cnt) -> decomposed dense grid, with the
+    gap-fill fused into the grouped-map kernel (see make_sparse_stl_fn)."""
+    spark = buckets.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism * 16
+    return (
+        buckets.repartition(partitions, "url")
+        .groupBy("url")
+        .applyInPandas(
+            make_sparse_stl_fn(period, granularity, fill_value, **config_kwargs),
+            STL_SCHEMA,
+        )
+    )
+
+
 def stl_decompose_df(series: DataFrame, period: int, partitions: int | None = None, **config_kwargs) -> DataFrame:
     """(url, ts, value) dense series -> + (trend, seasonal, residual, weight).
 
@@ -77,7 +151,11 @@ def stl_decompose_df(series: DataFrame, period: int, partitions: int | None = No
     are exempt from AQE coalescing) and the groupBy reuses that hash
     partitioning, so no extra shuffle is introduced."""
     spark = series.sparkSession
-    partitions = partitions or spark.sparkContext.defaultParallelism * 4
+    # 16 tasks per core: group work is uniform (grid-length-bounded), so many
+    # small tasks let the scheduler absorb per-task jitter — 4 coarse waves
+    # quantize the stage tail to a whole wave on a noisy host, measured ~15%
+    # slower at 32 cores on the 8000-series workload.
+    partitions = partitions or spark.sparkContext.defaultParallelism * 16
     return (
         series.repartition(partitions, "url")
         .groupBy("url")

@@ -20,7 +20,7 @@ from .operators.bucketize import bucketize
 from .operators.compress import compress_tier
 from .operators.gapfill import gapfill
 from .operators.rollup import build_tiers
-from .operators.stl_udf import stl_decompose_df
+from .operators.stl_udf import stl_decompose_sparse_df
 from .plans.checkpoint import Manifest, new_run_id
 from .sources.catalog import write_table
 
@@ -45,10 +45,17 @@ class PipelineResult:
 
 
 def decompose_pages(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """pages -> decomposed dense hourly series (no sink)."""
-    series = gapfill(bucketize(pages, granularity=cfg.granularity), granularity=cfg.granularity)
-    return stl_decompose_df(
-        series, cfg.period, seasonal_width=cfg.seasonal_width, robust=cfg.robust
+    """pages -> decomposed dense hourly series (no sink).
+
+    Uses the fused gap-fill + STL kernel: only observed buckets cross the
+    shuffle and the Arrow boundary; the dense grid is built in-kernel
+    (identical semantics to gapfill() — asserted by test_fused_gapfill_stl)."""
+    return stl_decompose_sparse_df(
+        bucketize(pages, granularity=cfg.granularity),
+        cfg.period,
+        granularity=cfg.granularity,
+        seasonal_width=cfg.seasonal_width,
+        robust=cfg.robust,
     )
 
 
@@ -107,7 +114,9 @@ def run_pipeline(
                 .drop("run_id", "bucket")
             )
             if cfg.compress:
-                chunks = compress_tier(materialized.select("url", "ts", *[f"sum_{c}" for c in ("value", "trend", "seasonal", "residual")]))
+                comps = ["value", "trend", "seasonal", "residual"]
+                comp_cols = comps if tier_name == "1h" else [f"sum_{c}" for c in comps]
+                chunks = compress_tier(materialized.select("url", "ts", *comp_cols))
                 chunks = chunks.withColumn("run_id", F.lit(run_id)).withColumn("bucket", F.lit(bucket))
                 write_table(chunks, f"{out_root}/gorilla_{tier_name}", partition_by=["bucket"], mode="overwrite_partitions")
             n_points += materialized.count()

@@ -71,6 +71,27 @@ def test_stl_matches_local_reference_exactly(spark, pages):
         assert np.array_equal(sub["residual"].to_numpy(), d.residual), url
 
 
+def test_fused_gapfill_stl_equals_distributed(spark, pages):
+    """The fused kernel (gap-fill inside the grouped map) must be row-for-row
+    bit-identical to the distributed gapfill() -> stl_decompose_df() path."""
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_sparse_df
+
+    buckets = bucketize(pages)
+    dist = (
+        stl_decompose_df(gapfill(buckets), period=24, seasonal_width=35, robust=True)
+        .toPandas().sort_values(["url", "ts"]).reset_index(drop=True)
+    )
+    fused = (
+        stl_decompose_sparse_df(buckets, period=24, seasonal_width=35, robust=True)
+        .toPandas().sort_values(["url", "ts"]).reset_index(drop=True)
+    )
+    assert len(dist) == len(fused)
+    assert (dist["url"] == fused["url"]).all()
+    assert (dist["ts"] == fused["ts"]).all()
+    for col in ("value", "trend", "seasonal", "residual", "weight"):
+        assert np.array_equal(dist[col].to_numpy(), fused[col].to_numpy()), col
+
+
 def test_tiers_exact_vs_pandas(spark, pages):
     decomposed = stl_decompose_df(gapfill(bucketize(pages)), period=24, seasonal_width=35)
     tiers = build_tiers(decomposed)
@@ -93,11 +114,11 @@ def test_tiers_exact_vs_pandas(spark, pages):
 
 def test_gorilla_chunks_roundtrip_via_spark(spark, pages):
     decomposed = stl_decompose_df(gapfill(bucketize(pages)), period=24, seasonal_width=35)
-    tier = build_tiers(decomposed)["1h"].select("url", "ts", "sum_value", "sum_trend")
+    tier = build_tiers(decomposed)["1h"].select("url", "ts", "value", "trend")
     chunks = compress_tier(tier)
     back = decompress_chunks(chunks).toPandas()
     orig = tier.toPandas()
-    for col in ("sum_value", "sum_trend"):
+    for col in ("value", "trend"):
         got = back[back["column"] == col].sort_values(["url", "ts_ms"])["value"].to_numpy()
         want = orig.sort_values(["url", "ts"])[col].to_numpy()
         assert np.array_equal(got, want)

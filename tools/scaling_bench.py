@@ -32,9 +32,8 @@ sys.path.insert(0, {repo!r})
 import pyspark.sql.functions as F
 from stl_decomp_4j_spark.plans.session import build_session
 from stl_decomp_4j_spark.operators.bucketize import bucketize
-from stl_decomp_4j_spark.operators.gapfill import gapfill
 from stl_decomp_4j_spark.operators.rollup import build_tiers
-from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_sparse_df
 
 cores = int(sys.argv[1]); pages_path = sys.argv[2]; out = sys.argv[3]
 spark = build_session(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
@@ -55,8 +54,7 @@ spark.range(0, 4 * cores, 1, 4 * cores).groupBy("id").applyInPandas(
 pages = spark.read.parquet(pages_path)
 
 t0 = time.time()
-series = gapfill(bucketize(pages))
-decomposed = stl_decompose_df(series, period=24, seasonal_width=35, robust=True)
+decomposed = stl_decompose_sparse_df(bucketize(pages), period=24, seasonal_width=35, robust=True)
 from stl_decomp_4j_spark.operators.rollup import hourly_tier, rollup_tier
 points = 0
 phases = {{}}
@@ -80,8 +78,14 @@ spark.stop()
 
 def run(cores: int, pages_path: str, out: str) -> dict:
     script = WORKER.format(repo=str(REPO))
+    # Pin the ENTIRE run (JVM + python workers, which inherit affinity) to
+    # `cores` physical CPUs.  Without this, a local[8] run on a 32-core host
+    # lets the JVM's shuffle/parquet/codegen threads spill onto the other 24
+    # cores — inflating the small-cluster baseline in a way no real 8-executor
+    # cluster could match, and understating scaling efficiency.
     proc = subprocess.run(
-        [sys.executable, "-c", script, str(cores), pages_path, out],
+        ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", script,
+         str(cores), pages_path, out],
         capture_output=True, text=True, timeout=3600,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
@@ -99,7 +103,7 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--large", type=int, default=32)
     ap.add_argument("--out", default=None)
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
     out = args.out or tempfile.mkdtemp(prefix="scaling_bench_", dir="/dev/shm")
