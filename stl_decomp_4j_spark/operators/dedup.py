@@ -67,7 +67,10 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
 
 
 def _shingle_table(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return shingle_select(_spread(docs, id_col), text_col, id_col, k).filter(F.size("shingles") > 0)
+    # the >=k-words filter lives inside shingle_select, BEFORE the shingle
+    # projection — filtering on the computed array here would inline the
+    # interpreted shingle lambda into the predicate and run it twice per row
+    return shingle_select(_spread(docs, id_col), text_col, id_col, k)
 
 
 def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
@@ -127,7 +130,11 @@ def dedup_minhash_lsh(
     Miss probability per true pair at J: (1 - J^rows_per_band)^bands — with
     the defaults (2x32) at J=0.6 that is ~6e-7.
     """
-    shingled = _shingle_table(docs, text_col, id_col, k)
+    # the shingle table feeds three consumers (signature agg + both sides of
+    # the verify join); materialize it once instead of re-shingling 3x.  At
+    # cluster scale this is the persisted shingle/signature table a
+    # production dedup pipeline keeps anyway.
+    shingled = _shingle_table(docs, text_col, id_col, k).localCheckpoint()
     signed = minhash_signatures(shingled, num_perm)
     cands = lsh_candidate_pairs(signed, bands, rows_per_band)
     sets_ = shingled.select("doc_id", "shingles")
