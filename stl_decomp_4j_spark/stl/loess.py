@@ -30,6 +30,11 @@ def _seqsum(a: np.ndarray) -> np.ndarray:
     return np.cumsum(a, axis=1)[:, -1]
 
 
+# per-process memo for the data-independent loess geometry (see smooth_windows)
+_GEOM_CACHE: dict = {}
+_GEOM_CACHE_MAX = 64
+
+
 def smooth_windows(
     vals: np.ndarray,
     xs: np.ndarray,
@@ -52,21 +57,36 @@ def smooth_windows(
     R, L = vals.shape
     xs = np.asarray(xs, dtype=np.float64)
     lefts = np.asarray(lefts, dtype=np.int64)
-    offs = np.arange(L, dtype=np.float64)
-    fidx = lefts[:, None].astype(np.float64) + offs[None, :]  # (R, L) grid coords
-    rights = lefts + L - 1
+    # The tricube/geometry block depends only on (xs, lefts, width, data_len)
+    # — NOT on the data or robustness weights — so across a robust
+    # decomposition (no+1 outer passes x identical smoother configs) it is
+    # recomputed with identical inputs dozens of times.  Memoize it per
+    # worker process; a cache hit replays the exact same float64 values, so
+    # bit-parity is untouched.
+    key = (data_len, width, L, xs.tobytes(), lefts.tobytes())
+    cached = _GEOM_CACHE.get(key)
+    if cached is None:
+        offs = np.arange(L, dtype=np.float64)
+        fidx = lefts[:, None].astype(np.float64) + offs[None, :]  # (R, L) grid coords
+        rights = lefts + L - 1
 
-    lam = np.maximum(xs - lefts, rights - xs)
-    if width > data_len:
-        lam = lam + (width - data_len) // 2
+        lam = np.maximum(xs - lefts, rights - xs)
+        if width > data_len:
+            lam = lam + (width - data_len) // 2
 
-    delta = np.abs(xs[:, None] - fidx)
-    lam_col = lam[:, None]
-    frac = np.divide(delta, lam_col, out=np.zeros_like(delta), where=lam_col > 0)
-    tri = 1.0 - frac * frac * frac
-    w = tri * tri * tri
-    np.copyto(w, 1.0, where=delta <= 0.001 * lam_col)
-    np.copyto(w, 0.0, where=delta > 0.999 * lam_col)
+        delta = np.abs(xs[:, None] - fidx)
+        lam_col = lam[:, None]
+        frac = np.divide(delta, lam_col, out=np.zeros_like(delta), where=lam_col > 0)
+        tri = 1.0 - frac * frac * frac
+        w_base = tri * tri * tri
+        np.copyto(w_base, 1.0, where=delta <= 0.001 * lam_col)
+        np.copyto(w_base, 0.0, where=delta > 0.999 * lam_col)
+        if len(_GEOM_CACHE) >= _GEOM_CACHE_MAX:
+            _GEOM_CACHE.pop(next(iter(_GEOM_CACHE)))
+        _GEOM_CACHE[key] = (w_base, lam, fidx)
+    else:
+        w_base, lam, fidx = cached
+    w = w_base.copy()
 
     if ext_w is not None:
         # external weights apply only inside the neighborhood; outside the

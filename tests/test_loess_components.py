@@ -237,3 +237,28 @@ def test_commons_svd_bitwise_oracle():
         assert [struct.pack("<d", v) for v in got] == [
             struct.pack("<d", v) for v in want
         ]
+
+
+# --- geometry memoization must not perturb results ---
+
+def test_geom_cache_bitwise_stable():
+    """smooth_windows memoizes the data-independent tricube geometry; a hit
+    must replay the exact same float64 values.  Interleave configs so later
+    calls are cache hits, and compare against a cold cache."""
+    import numpy as np
+
+    from stl_decomp_4j_spark.stl import decompose
+    from stl_decomp_4j_spark.stl import loess as L
+
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal(480) + np.sin(np.arange(480) * 2 * np.pi / 24)
+
+    L._GEOM_CACHE.clear()
+    cold = [decompose(y, 24, seasonal_width=w, robust=True) for w in (7, 35)]
+    # second pass: every geometry is now a cache hit
+    warm = [decompose(y, 24, seasonal_width=w, robust=True) for w in (7, 35)]
+    for c, h in zip(cold, warm):
+        assert np.array_equal(c.trend, h.trend)
+        assert np.array_equal(c.seasonal, h.seasonal)
+        assert np.array_equal(c.weights, h.weights)
+    assert len(L._GEOM_CACHE) <= L._GEOM_CACHE_MAX

@@ -36,8 +36,20 @@ from stl_decomp_4j_spark.operators.rollup import build_tiers
 from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_sparse_df
 
 cores = int(sys.argv[1]); pages_path = sys.argv[2]; out = sys.argv[3]
-spark = build_session(app_name=f"scale-{{cores}}", master=f"local[{{cores}}]",
-                      shuffle_partitions=max(32, 2 * cores))
+mode = sys.argv[4] if len(sys.argv) > 4 else "threads"
+if mode == "executors":
+    # N separate executor JVMs x 4 cores each — cluster-faithful: shuffle,
+    # Arrow serving, parquet writes and GC all scale per-executor, as on a
+    # real cluster, instead of sharing one JVM across all cores.
+    n_exec = max(1, cores // 4)
+    master = f"local-cluster[{{n_exec}},4,9216]"
+    extra = {{"spark.executor.memory": "8g",
+              "spark.executorEnv.PYTHONPATH": {repo!r}}}
+else:
+    master = f"local[{{cores}}]"
+    extra = {{}}
+spark = build_session(app_name=f"scale-{{cores}}", master=master,
+                      shuffle_partitions=max(32, 2 * cores), extra_conf=extra)
 spark.range(10_000_000).select(F.sum("id")).collect()  # JVM warmup
 # pre-warm the python workers (imports + malloc tuning are one-time per
 # worker process; steady-state throughput is what the rule measures)
@@ -76,7 +88,7 @@ spark.stop()
 """
 
 
-def run(cores: int, pages_path: str, out: str) -> dict:
+def run(cores: int, pages_path: str, out: str, mode: str = "threads") -> dict:
     script = WORKER.format(repo=str(REPO))
     # Pin the ENTIRE run (JVM + python workers, which inherit affinity) to
     # `cores` physical CPUs.  Without this, a local[8] run on a 32-core host
@@ -85,7 +97,7 @@ def run(cores: int, pages_path: str, out: str) -> dict:
     # cluster could match, and understating scaling efficiency.
     proc = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", script,
-         str(cores), pages_path, out],
+         str(cores), pages_path, out, mode],
         capture_output=True, text=True, timeout=3600,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
@@ -104,6 +116,8 @@ def main() -> None:
     ap.add_argument("--large", type=int, default=32)
     ap.add_argument("--out", default=None)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--mode", choices=["threads", "executors"], default="threads",
+                    help="threads: one JVM local[N]; executors: local-cluster with N/4 executor JVMs x 4 cores")
     args = ap.parse_args()
 
     out = args.out or tempfile.mkdtemp(prefix="scaling_bench_", dir="/dev/shm")
@@ -127,13 +141,14 @@ spark.stop()
     # run — both sizes see the same environment distribution
     runs = {args.small: [], args.large: []}
     for _ in range(args.repeats):
-        runs[args.small].append(run(args.small, pages_path, out))
-        runs[args.large].append(run(args.large, pages_path, out))
+        runs[args.small].append(run(args.small, pages_path, out, args.mode))
+        runs[args.large].append(run(args.large, pages_path, out, args.mode))
     small = max(runs[args.small], key=lambda r: r["points_per_sec"])
     large = max(runs[args.large], key=lambda r: r["points_per_sec"])
     ratio = args.large // args.small
     eff = large["points_per_sec"] / (ratio * small["points_per_sec"])
     result = {
+        "mode": args.mode,
         "input": {"urls": args.urls, "days": args.days, "events_per_url": args.events_per_url},
         "small": small,
         "large": large,
