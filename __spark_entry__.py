@@ -243,6 +243,24 @@ def q_stl_tier_1d(spark, sf_dir):
     return _fmt_ts(out)
 
 
+def q_stl_tier_1d_fused(spark, sf_dir):
+    """Same 1d tier as q_stl_tier_1d but through the pipeline's fused
+    gap-fill+STL kernel (stl_decompose_sparse_df): only observed buckets
+    cross the Arrow boundary, the dense grid is built in-kernel.  Result is
+    row-for-row identical to the distributed path."""
+    from stl_decomp_4j_spark.operators.bucketize import bucketize
+    from stl_decomp_4j_spark.operators.rollup import build_tiers
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_sparse_df
+
+    events = spark.read.parquet(_t(sf_dir, "events"))
+    buckets = bucketize(events, key_col="event_type", ts_col="ts", granularity="hour")
+    decomposed = stl_decompose_sparse_df(buckets, period=24, seasonal_width=35)
+    t1d = build_tiers(decomposed)["1d"]
+    cols = ["url", "ts"] + [c for c in t1d.columns if c.startswith(("sum_", "min_", "max_"))] + ["cnt"]
+    out = t1d.select(*[F.round(c, 6).alias(c) if c.startswith(("sum_", "min_", "max_")) else c for c in cols])
+    return _fmt_ts(out)
+
+
 def q_gorilla_roundtrip(spark, sf_dir):
     """Gap-filled series passed through Gorilla encode+decode; the oracle is
     the plain series SQL — they match iff the codec is lossless."""
@@ -437,8 +455,10 @@ def q_multimodal_features(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: events -> bucketize -> gap-fill -> STL -> 1d tier."""
-    return q_stl_tier_1d(spark, "/root/testdata/sf0.001")
+    """Flagship: events -> bucketize -> fused gap-fill+STL -> 1d tier
+    (the pipeline's production kernel; row-identical to the distributed
+    gapfill -> stl path, see q_stl_tier_1d)."""
+    return q_stl_tier_1d_fused(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -464,6 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "stl_decompose_events": q_stl_decompose_events,
         "stl_tier_1d": q_stl_tier_1d,
+        "stl_tier_1d_fused": q_stl_tier_1d_fused,
         "stl_fit_stats": q_stl_fit_stats,
         "stl_periodic": q_stl_periodic,
         "stl_robust_periodic": q_stl_robust_periodic,

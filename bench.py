@@ -22,6 +22,7 @@ HEADLINE = [
     "sma_24h",
     "stl_decompose_events",
     "stl_tier_1d",
+    "stl_tier_1d_fused",
     "gorilla_roundtrip",
     "pricing_summary",
     "top_customers",
