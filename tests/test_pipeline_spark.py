@@ -151,3 +151,24 @@ def test_full_pipeline_with_resume(spark, pages, tmp_path):
     pd.testing.assert_frame_equal(
         before.drop(columns=["run_id"]), final.drop(columns=["run_id"])
     )
+
+
+@pytest.mark.parametrize("granularity,period", [("day", 7), ("week", 4)])
+def test_fused_gapfill_other_granularities(spark, pages, granularity, period):
+    """Fused kernel grid construction must match the distributed gapfill at
+    day and week granularity too (rollup_job exposes --granularity)."""
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_sparse_df
+
+    buckets = bucketize(pages, granularity=granularity)
+    dist = (
+        stl_decompose_df(gapfill(buckets, granularity=granularity), period=period, seasonal_width=7)
+        .toPandas().sort_values(["url", "ts"]).reset_index(drop=True)
+    )
+    fused = (
+        stl_decompose_sparse_df(buckets, period=period, granularity=granularity, seasonal_width=7)
+        .toPandas().sort_values(["url", "ts"]).reset_index(drop=True)
+    )
+    assert len(dist) == len(fused) and len(dist) > 0
+    assert (dist["ts"] == fused["ts"]).all()
+    for col in ("value", "trend", "seasonal", "residual"):
+        assert np.array_equal(dist[col].to_numpy(), fused[col].to_numpy()), col
