@@ -159,16 +159,18 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     words = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     exploded = _spread(docs, id_col).select(F.col(id_col).alias("doc_id"), F.explode(words).alias("w"))
     hashed = exploded.select("doc_id", F.xxhash64("w").alias("h"))
-    aggs = [
-        F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1).cast("long")) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    votes = hashed.groupBy("doc_id").agg(*aggs)
+    # per bit, count ONES (bare bit extraction sums) plus one shared count;
+    # the +1/-1 vote is recovered as vote>0 <=> 2*ones > n (ties -> bit 0).
+    # The when/otherwise vote formulation generated ~3x slower codegen (bigger
+    # compiled method + branchy inner loop) for identical fingerprints.
+    one = F.lit(1).cast("long")
+    aggs = [F.sum(F.shiftright("h", b).bitwiseAND(one)).alias(f"o{b}") for b in range(bits)]
+    votes = hashed.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        sim = sim.bitwiseOR(F.when(F.col(f"v{b}") > 0, _bit_lit(b)).otherwise(F.lit(0).cast("long")))
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"o{b}") * 2 > F.col("n"), _bit_lit(b)).otherwise(F.lit(0).cast("long"))
+        )
     return votes.select("doc_id", sim.alias("simhash"))
 
 
