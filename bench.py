@@ -43,8 +43,11 @@ def main() -> None:
     from stl_decomp_4j_spark.plans.session import build_session
 
     spark = build_session(app_name="bench")
-    # warm the JVM + python workers once with a trivial job
+    # warm the JVM + python workers once with a trivial job, and the
+    # Hadoop/parquet reader stack with a tiny table — otherwise the first
+    # measured query absorbs ~1s of one-time datasource class loading
     spark.range(1000).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
