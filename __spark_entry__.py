@@ -221,7 +221,7 @@ def q_stl_decompose_events(spark, sf_dir):
     from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
 
     series = _events_gapfilled(spark, sf_dir)
-    out = stl_decompose_df(series, period=24, seasonal_width=35, robust=False)
+    out = stl_decompose_df(series, period=24, seasonal_width=35, robust=False, partitions=32)
     return _fmt_ts(out).select(
         "url",
         "ts",
@@ -236,7 +236,7 @@ def q_stl_tier_1d(spark, sf_dir):
     from stl_decomp_4j_spark.operators.rollup import build_tiers
     from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
 
-    decomposed = stl_decompose_df(_events_gapfilled(spark, sf_dir), period=24, seasonal_width=35)
+    decomposed = stl_decompose_df(_events_gapfilled(spark, sf_dir), period=24, seasonal_width=35, partitions=32)
     t1d = build_tiers(decomposed)["1d"]
     cols = ["url", "ts"] + [c for c in t1d.columns if c.startswith(("sum_", "min_", "max_"))] + ["cnt"]
     out = t1d.select(*[F.round(c, 6).alias(c) if c.startswith(("sum_", "min_", "max_")) else c for c in cols])
@@ -254,7 +254,7 @@ def q_stl_tier_1d_fused(spark, sf_dir):
 
     events = spark.read.parquet(_t(sf_dir, "events"))
     buckets = bucketize(events, key_col="event_type", ts_col="ts", granularity="hour")
-    decomposed = stl_decompose_sparse_df(buckets, period=24, seasonal_width=35)
+    decomposed = stl_decompose_sparse_df(buckets, period=24, seasonal_width=35, partitions=32)
     t1d = build_tiers(decomposed)["1d"]
     cols = ["url", "ts"] + [c for c in t1d.columns if c.startswith(("sum_", "min_", "max_"))] + ["cnt"]
     out = t1d.select(*[F.round(c, 6).alias(c) if c.startswith(("sum_", "min_", "max_")) else c for c in cols])
@@ -327,7 +327,7 @@ def q_stl_periodic(spark, sf_dir):
 
     series = _events_gapfilled(spark, sf_dir)
     out = stl_decompose_df(
-        series, period=24, periodic=True, inner_iterations=1, outer_iterations=0
+        series, period=24, periodic=True, inner_iterations=1, outer_iterations=0, partitions=32
     )
     return _fmt_ts(out).select(
         "url",
@@ -344,7 +344,7 @@ def q_stl_robust_periodic(spark, sf_dir):
 
     series = _events_gapfilled(spark, sf_dir)
     out = stl_decompose_df(
-        series, period=24, periodic=True, inner_iterations=1, outer_iterations=1
+        series, period=24, periodic=True, inner_iterations=1, outer_iterations=1, partitions=32
     )
     return _fmt_ts(out).select(
         "url",
