@@ -117,8 +117,11 @@ def q_top_customers(spark, sf_dir):
     out = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).select(
         "c_custkey", "c_name", "revenue", "n_orders"
     )
-    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 20)
+    # TakeOrderedAndProject (distributed partial top-k) instead of a global
+    # unpartitioned Window; the rank window then sees only the 20 rows kept
+    top = out.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(20)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def q_text_token_stats(spark, sf_dir):
@@ -174,16 +177,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_embedding_near_dup_bf(spark, sf_dir):
-    from stl_decomp_4j_spark.operators.similarity import _as_double, cosine
+    from stl_decomp_4j_spark.operators.similarity import _as_double, pair_cosine_udf
 
     emb = spark.read.parquet(_t(sf_dir, "embeddings")).select("vec_id", _as_double("embedding").alias("v"))
     a, b = emb.alias("a"), emb.alias("b")
     pairs = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    cos = pair_cosine_udf()
     return (
         pairs.select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+            F.round(cos(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= 0.5)
     )

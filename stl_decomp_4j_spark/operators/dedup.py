@@ -73,20 +73,31 @@ def _shingle_table(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataF
     return shingle_select(_spread(docs, id_col), text_col, id_col, k)
 
 
-def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
-    """(doc_id, sig: array<long>) — sig[p] = min over shingles of a 64-bit
-    hash family.
+def shingle_hashes(shingled: DataFrame) -> DataFrame:
+    """(doc_id, h: long) — one row per distinct shingle, string-hashed ONCE
+    with xxhash64.  Everything downstream (minhash family, exact-Jaccard
+    verify) works on the 8-byte hash, never re-shipping shingle strings."""
+    return shingled.select("doc_id", F.explode("shingles").alias("sh")).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
 
-    Shape matters at scale: each shingle is string-hashed ONCE
-    (xxhash64), then the num_perm family members are cheap fixed-width
-    re-hashes of that long, and the mins are a single codegen'd hash
-    aggregate over the exploded shingles — Catalyst higher-order-function
-    lambdas are interpreted per element and were ~20x slower here."""
-    exploded = shingled.select("doc_id", F.explode("shingles").alias("sh"))
-    base = exploded.select("doc_id", F.xxhash64("sh").alias("h"))
+
+def minhash_signatures_from_hashes(hashed: DataFrame, num_perm: int = 64) -> DataFrame:
+    """(doc_id, sig: array<long>) — sig[p] = min over shingle hashes of a
+    64-bit hash family.
+
+    Shape matters at scale: the num_perm family members are cheap fixed-width
+    re-hashes of the already-computed shingle hash, and the mins are a single
+    codegen'd hash aggregate over the exploded shingles — Catalyst
+    higher-order-function lambdas are interpreted per element and were ~20x
+    slower here."""
     aggs = [F.min(F.xxhash64(F.col("h"), F.lit(p))).alias(f"mh{p}") for p in range(num_perm)]
-    sigs = base.groupBy("doc_id").agg(*aggs)
+    sigs = hashed.groupBy("doc_id").agg(*aggs)
     return sigs.select("doc_id", F.array(*[f"mh{p}" for p in range(num_perm)]).alias("sig"))
+
+
+def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
+    return minhash_signatures_from_hashes(shingle_hashes(shingled), num_perm)
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = 32, rows_per_band: int = 2) -> DataFrame:
@@ -130,17 +141,29 @@ def dedup_minhash_lsh(
     Miss probability per true pair at J: (1 - J^rows_per_band)^bands — with
     the defaults (2x32) at J=0.6 that is ~6e-7.
     """
-    # the shingle table feeds three consumers (signature agg + both sides of
-    # the verify join); materialize it once instead of re-shingling 3x.  At
-    # cluster scale this is the persisted shingle/signature table a
-    # production dedup pipeline keeps anyway.
-    shingled = _shingle_table(docs, text_col, id_col, k).localCheckpoint()
-    signed = minhash_signatures(shingled, num_perm)
+    from pyspark import StorageLevel
+
+    # the hashed-shingle table feeds three consumers (signature agg + both
+    # sides of the verify join); cache it once instead of re-shingling 3x.
+    # persist (recomputable lineage, spills to disk) rather than
+    # localCheckpoint: localCheckpoint is eager but stores blocks on executor
+    # local storage only, so losing an executor after it makes the truncated
+    # lineage unrecoverable and fails the job on a real cluster.  At cluster
+    # scale this is the persisted shingle/signature table a production dedup
+    # pipeline keeps anyway.
+    hashed = shingle_hashes(_shingle_table(docs, text_col, id_col, k)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    signed = minhash_signatures_from_hashes(hashed, num_perm)
     cands = lsh_candidate_pairs(signed, bands, rows_per_band)
-    sets_ = shingled.select("doc_id", "shingles")
+    # exact verify on int64 shingle-hash sets: Jaccard on hashes is identical
+    # to Jaccard on strings modulo 64-bit collisions (odds ~ shingles^2/2^64
+    # per doc pair), and the verify join ships 8 bytes per shingle instead of
+    # the full k-gram string — the dominant shuffle-bytes knob at scale.
+    sets_ = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("sh"))
     pairs = (
-        cands.join(sets_.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-        .join(sets_.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+        cands.join(sets_.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets_.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")

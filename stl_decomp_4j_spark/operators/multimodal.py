@@ -63,39 +63,66 @@ def attach_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def _fake_decode(payload: bytes, kind: str, n_features: int):
-    digest = hashlib.sha256(payload).digest()
-    rng = np.random.default_rng(int.from_bytes(digest[:8], "big"))
-    width = 16 + digest[8] % 240
-    height = 16 + digest[9] % 240
-    n_frames = 1 if kind == "image" else 1 + digest[10] % 32
-    return width, height, n_frames, rng.standard_normal(n_features)
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 — a deterministic batch
+    stand-in for per-item RNG seeding."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _fake_decode_batch(payloads, kinds: np.ndarray, n_features: int):
+    """Batch fake decoder: content digests -> deterministic dims + features.
+
+    The sha256 per item is the only per-item step (a real decoder is per-item
+    there too); dims and the feature matrix are pure NumPy over the stacked
+    digest bytes, so a real vectorized featurizer drops into the same shape.
+    """
+    n = len(payloads)
+    digests = np.frombuffer(
+        b"".join(hashlib.sha256(bytes(p)).digest() for p in payloads), dtype=np.uint8
+    ).reshape(n, 32)
+    width = (16 + digests[:, 8] % 240).astype(np.int32)
+    height = (16 + digests[:, 9] % 240).astype(np.int32)
+    n_frames = np.where(kinds == "image", 1, 1 + digests[:, 10] % 32).astype(np.int32)
+    seeds = digests[:, :8].copy().view(">u8").astype(np.uint64).reshape(n)
+    ks = _mix64(seeds[:, None] + np.arange(n_features, dtype=np.uint64)[None, :])
+    # uniform in [-1, 1) from the top 53 bits — deterministic fake "features"
+    features = (ks >> np.uint64(11)).astype(np.float64) * 2.0**-52 - 1.0
+    return width, height, n_frames, features
 
 
 def extract_features(media: DataFrame, n_features: int = 8, fake: bool = True) -> DataFrame:
-    """Decode + feature-extract via mapInPandas (Arrow batches; the batch
-    iterator shape is what a real decoder would use)."""
+    """Decode + feature-extract via mapInPandas (Arrow batches; the
+    batch-vectorized shape is what a real decoder harness would use)."""
     if not fake:
         raise NotImplementedError(
             "real image/audio decode requires pillow/librosa etc., not available in this container"
         )
 
+    cols = [f.name for f in FEATURES_SCHEMA.fields]
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                w, h, nf, feats = _fake_decode(bytes(row["payload"]), row["kind"], n_features)
-                rows.append(
-                    {
-                        "media_id": row["media_id"],
-                        "kind": row["kind"],
-                        "width": w,
-                        "height": h,
-                        "n_frames": nf,
-                        "features": feats,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            kinds = pdf["kind"].to_numpy()
+            w, h, nf, feats = _fake_decode_batch(pdf["payload"].to_numpy(), kinds, n_features)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": kinds,
+                    "width": w,
+                    "height": h,
+                    "n_frames": nf,
+                    "features": list(feats),
+                }
+            )
 
     return media.mapInPandas(fn, FEATURES_SCHEMA)
 

@@ -33,8 +33,16 @@ def rollup_tier(tier: DataFrame, granularity: str) -> DataFrame:
 
     Accepts either the compact 1h schema (component columns, from which
     sum/min/max all derive) or the full sum_/min_/max_ schema of coarser
-    tiers; output is always the full schema."""
-    compact = COMPONENTS[0] in tier.columns
+    tiers; output is always the full schema.  A frame carrying BOTH layouts
+    is ambiguous (which columns are authoritative?) and is rejected rather
+    than silently aggregating the wrong ones."""
+    has_compact = COMPONENTS[0] in tier.columns
+    has_full = f"sum_{COMPONENTS[0]}" in tier.columns
+    if has_compact and has_full:
+        raise ValueError(
+            f"ambiguous tier schema: both '{COMPONENTS[0]}' and 'sum_{COMPONENTS[0]}' present"
+        )
+    compact = has_compact
     aggs = []
     for c in COMPONENTS:
         src_sum, src_min, src_max = (

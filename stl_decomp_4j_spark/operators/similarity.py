@@ -1,35 +1,83 @@
 """Similarity search over an embedding column (array<float>).
 
-- brute-force cosine top-k: exact baseline; broadcast the query vector(s),
-  dot product via F.aggregate/zip_with (JVM-side, codegen — no Python).
+- brute-force cosine top-k: exact baseline; the query vector is closed over
+  (broadcast with the serialized UDF), scores computed as one NumPy matmul
+  per Arrow batch in a vectorized pandas UDF.
 - LSH-bucketed ANN: random-hyperplane signs bucket the vectors; candidates
-  exact-reranked.  The scale path: bucket join replaces the full scan, with
+  exact-reranked.  The scale path: bucket filter replaces the full scan, with
   multi-probe (search neighboring buckets by flipping bits) as the recall
   knob.
 - embedding near-dup pairs: all pairs with cosine >= threshold, candidates
   from the same hyperplane LSH, exact-verified.
+
+Scale shape: all vector math runs in Arrow-batched pandas UDFs (one
+float64 matmul / einsum per batch) — Catalyst higher-order-function lambdas
+are interpreted per element and were the dominant cost at dim x 10^9 rows
+(see CLAUDE.md); top-k uses orderBy().limit(k) (TakeOrderedAndProject — a
+distributed partial top-k per partition + merge on the driver side of the
+exchange), never a global unpartitioned Window.
 """
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot(a, b) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+def _stack(series: pd.Series) -> np.ndarray:
+    return np.stack(series.to_numpy()).astype(np.float64, copy=False)
 
 
-def norm(a) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+def cosine_vs_query_udf(query: list[float]):
+    """Vectorized pandas UDF: cosine(v, query) as one matmul per Arrow batch."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @F.pandas_udf("double")
+    def cos(v: pd.Series) -> pd.Series:
+        mat = _stack(v)
+        return pd.Series((mat @ q) / (np.linalg.norm(mat, axis=1) * qn))
+
+    return cos
 
 
-def cosine(a, b) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def pair_cosine_udf():
+    """Vectorized pandas UDF: cosine(va, vb) via batched einsum."""
+
+    @F.pandas_udf("double")
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a, b = _stack(va), _stack(vb)
+        num = np.einsum("ij,ij->i", a, b)
+        return pd.Series(num / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)))
+
+    return cos
+
+
+def norm_udf():
+    @F.pandas_udf("double")
+    def nrm(v: pd.Series) -> pd.Series:
+        return pd.Series(np.linalg.norm(_stack(v), axis=1))
+
+    return nrm
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """(vec_id, cos) -> top-k with rank, deterministic (cos desc, vec_id).
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject (per-partition
+    partial top-k, no full-data single-partition shuffle); the row_number
+    window then runs over at most k rows.  partitionBy(lit(0)) gives the
+    window an explicit (constant) partition spec — same semantics as a
+    global window, but without WindowExec's move-everything warning path.
+    """
+    top = scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def brute_force_topk(
@@ -41,15 +89,12 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine against one query vector.  Output:
     (vec_id, cos, rank) with deterministic (cos desc, vec_id) ordering."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    cos = cosine_vs_query_udf(query)
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cos"),
+        F.round(cos(_as_double(F.col(vec_col))), 6).alias("cos"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _ranked_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
@@ -57,16 +102,27 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket(vec_col, planes: np.ndarray) -> Column:
-    """Random-hyperplane signature: bit p = sign(dot(v, plane_p))."""
-    sig = F.lit(0).cast("long")
+def lsh_bucket_udf(planes: np.ndarray):
+    """Random-hyperplane signature as a vectorized pandas UDF: one
+    (batch x dim) @ (dim x planes) matmul per Arrow batch; bit p =
+    sign(dot(v, plane_p))."""
+    pt = np.ascontiguousarray(planes.T, dtype=np.float64)
+    pow2 = (1 << np.arange(planes.shape[0], dtype=np.uint64)).astype(np.uint64)
+
+    @F.pandas_udf("long")
+    def bucket(v: pd.Series) -> pd.Series:
+        mat = _stack(v)
+        signs = (mat @ pt) > 0
+        return pd.Series((signs.astype(np.uint64) @ pow2).astype(np.int64))
+
+    return bucket
+
+
+def _query_signature(query: np.ndarray, planes: np.ndarray) -> int:
+    sig = 0
     for p, plane in enumerate(planes):
-        d = F.aggregate(
-            F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in plane]), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig.bitwiseOR(F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+        if float(query @ plane) > 0:
+            sig |= 1 << p
     return sig
 
 
@@ -80,36 +136,22 @@ def ann_lsh_topk(
     multiprobe_bits: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose LSH bucket is within
-    ``multiprobe_bits`` bit-flips of the query's bucket."""
-    dim = len(query)
-    planes = _hyperplanes(dim, n_planes)
+    ``multiprobe_bits`` bit-flips (Hamming distance) of the query's bucket."""
+    qv = np.asarray(query, dtype=np.float64)
+    planes = _hyperplanes(len(query), n_planes)
+    bucket = lsh_bucket_udf(planes)
+    qsig = _query_signature(qv, planes)
     df = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
-        lsh_bucket(_as_double(F.col(vec_col)), planes).alias("bucket"),
+        bucket(_as_double(F.col(vec_col))).alias("bucket"),
     )
-    qsig = 0
-    qv = np.asarray(query, dtype=float)
-    for p, plane in enumerate(planes):
-        if float(qv @ plane) > 0:
-            qsig |= 1 << p
-    probes = {qsig}
-    if multiprobe_bits >= 1:
-        for p in range(n_planes):
-            probes.add(qsig ^ (1 << p))
-    if multiprobe_bits >= 2:
-        for p in range(n_planes):
-            for p2 in range(p + 1, n_planes):
-                probes.add(qsig ^ (1 << p) ^ (1 << p2))
-    q = F.array(*[F.lit(float(x)) for x in query])
-    scored = (
-        df.filter(F.col("bucket").isin(list(probes)))
-        .select("vec_id", F.round(cosine(F.col("v"), q), 6).alias("cos"))
+    cands = df.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qsig).cast("long"))) <= multiprobe_bits
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    cos = cosine_vs_query_udf(query)
+    scored = cands.select("vec_id", F.round(cos(F.col("v")), 6).alias("cos"))
+    return _ranked_topk(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -120,26 +162,29 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine >= threshold; candidates restricted to pairs
-    sharing an LSH bucket OR differing in one bucket bit (high recall at high
-    thresholds), exact-verified.  Output: (id_a, id_b, cos)."""
-    # probe cheaply by emitting each vector under its bucket and all 1-bit
-    # neighbors; join on bucket
+    whose LSH buckets are within Hamming distance 1 (same bucket or one
+    differing hyperplane sign — high recall at high thresholds),
+    exact-verified.  Output: (id_a, id_b, cos).
+
+    Implemented as probe-explode + bucket equi-join (each vector emitted
+    under its bucket and all 1-bit neighbors, joined to anchors) — a
+    shuffle-bounded equi-join, not an all-pairs filter."""
     sample = embeddings.limit(1).collect()
     dim = len(sample[0][vec_col]) if sample else 0
     planes = _hyperplanes(dim, n_planes)
+    bucket = lsh_bucket_udf(planes)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
-        lsh_bucket(_as_double(F.col(vec_col)), planes).alias("bucket"),
+        bucket(_as_double(F.col(vec_col))).alias("bucket"),
     )
     probed = base.select(
         "vec_id",
-        "v",
         F.explode(
             F.array(F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("long")) for p in range(n_planes)])
         ).alias("probe"),
     )
-    anchored = base.select("vec_id", "v", F.col("bucket").alias("probe"))
+    anchored = base.select("vec_id", F.col("bucket").alias("probe"))
     cands = (
         probed.alias("a")
         .join(anchored.alias("b"), "probe")
@@ -148,8 +193,9 @@ def embedding_near_dup_pairs(
         .distinct()
     )
     # precompute per-vector norms once — the exact-verify pass then only
-    # evaluates one dot product per candidate pair instead of three
-    vecs = base.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+    # evaluates one batched dot product per candidate pair
+    nrm = norm_udf()
+    vecs = base.select("vec_id", "v", nrm(F.col("v")).alias("nrm"))
     pairs = (
         cands.join(
             vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
@@ -159,7 +205,12 @@ def embedding_near_dup_pairs(
             "id_b",
         )
     )
-    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+
+    @F.pandas_udf("double")
+    def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        return pd.Series(np.einsum("ij,ij->i", _stack(va), _stack(vb)))
+
+    cos = pair_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .filter(F.col("cos") >= threshold)

@@ -96,7 +96,15 @@ def make_sparse_stl_fn(period: int, granularity: str, fill_value: float, **confi
         t0 = ts.min()
         grid = np.arange(t0, ts.max() + 1, step)
         y = np.full(len(grid), float(fill_value))
-        y[(ts - t0) // step] = cnt  # bucket ts are exact grid multiples
+        off = ts - t0
+        if (off % step).any():
+            # a bucketize granularity that disagrees with `granularity` would
+            # silently land counts in wrong/shared slots — fail loudly instead
+            raise ValueError(
+                f"bucket timestamps are not aligned to the {step}s grid "
+                f"(granularity mismatch between bucketize and the STL kernel)"
+            )
+        y[off // step] = cnt
         n = len(y)
         if n >= 2 * period:
             config = build_stl_config(n, period, **config_kwargs)

@@ -25,6 +25,12 @@ from .plans.checkpoint import Manifest, new_run_id
 from .sources.catalog import write_table
 
 
+# bump when the persisted tier/gorilla table schema changes (v2 = compact 1h
+# tier); the manifest records it so --resume across an upgrade fails loudly
+# instead of appending mixed-schema partitions under one table root
+TIER_SCHEMA_VERSION = 2
+
+
 @dataclass
 class PipelineConfig:
     period: int = 24
@@ -76,7 +82,7 @@ def run_pipeline(
     t_start = time.time()
     manifest = Manifest(out_root)
     run_id = new_run_id()
-    done = manifest.done_buckets() if resume else set()
+    done = manifest.done_buckets(schema_version=TIER_SCHEMA_VERSION) if resume else set()
 
     result = PipelineResult(run_id=run_id)
     bucket_col = F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int")
@@ -122,7 +128,10 @@ def run_pipeline(
             n_points += materialized.count()
             if next_granularity:
                 tier_df = rollup_tier(materialized, next_granularity)
-        manifest.mark(run_id, bucket, "done", points=n_points, wall_s=time.time() - t0)
+        manifest.mark(
+            run_id, bucket, "done", points=n_points, wall_s=time.time() - t0,
+            schema_version=TIER_SCHEMA_VERSION,
+        )
         result.buckets_run.append(bucket)
 
     # verify the byte-identity invariant end-to-end: urls seen in the output

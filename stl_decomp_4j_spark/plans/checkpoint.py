@@ -25,12 +25,22 @@ class Manifest:
         self.path = Path(root) / "manifest.jsonl"
         self.path.parent.mkdir(parents=True, exist_ok=True)
 
-    def done_buckets(self) -> set[int]:
+    def done_buckets(self, schema_version: int | None = None) -> set[int]:
+        """Buckets with a 'done' row.  When ``schema_version`` is given,
+        refuse to resume across a tier-schema upgrade: appending new-schema
+        partitions beside old-schema ones under the same table root would
+        yield a mixed-schema table that readers fail on or null-fill."""
         done = set()
         if self.path.exists():
             for line in self.path.read_text().splitlines():
                 row = json.loads(line)
                 if row["status"] == "done":
+                    if schema_version is not None and row.get("schema_version", 1) != schema_version:
+                        raise RuntimeError(
+                            f"manifest {self.path} has completed buckets with tier schema "
+                            f"v{row.get('schema_version', 1)}, current engine writes "
+                            f"v{schema_version}; resume refused — use a fresh out_root"
+                        )
                     done.add(row["bucket"])
         return done
 

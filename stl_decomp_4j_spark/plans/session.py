@@ -38,13 +38,14 @@ def build_session(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        # AQE partition coalescing decides by shuffle BYTES, which is the
-        # wrong signal for this engine: the STL grouped-map stage carries a
-        # few MB of series data but hours of NumPy CPU, and coalescing it to
-        # one partition serializes the whole pipeline (measured 10x+ wall).
-        # Skew-join splitting stays on; coalescing can be re-enabled via
-        # extra_conf for purely relational workloads.
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # AQE partition coalescing stays ON session-wide (relational queries
+        # want it at scale).  It decides by shuffle BYTES, the wrong signal
+        # for the CPU-heavy STL grouped-map stage (a few MB of series data,
+        # hours of NumPy CPU) — but that stage protects itself with explicit
+        # numbered repartition(n, "url") pins (operators/stl_udf.py,
+        # operators/gapfill.py): AQE never coalesces a user-specified
+        # repartition-by-number shuffle (ShuffleOrigin REPARTITION_BY_NUM).
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS))
