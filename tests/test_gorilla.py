@@ -70,3 +70,40 @@ def test_series_roundtrip():
     t2, v2 = decode_series(encode_series(ts, vals))
     assert np.array_equal(t2, ts)
     assert np.array_equal(v2.view(np.uint64), vals.view(np.uint64))
+
+
+def test_values_boundary_patterns():
+    # denormals, powers of two, sign flips, extremes — float-exponent
+    # bit-length tricks in the vectorized encoder must survive all of them
+    x = np.array(
+        [5e-324, -5e-324, 2.0**-1022, 2.0**1023, -2.0**1023, 1.0, -1.0, 0.0, -0.0, np.nan, np.inf]
+    )
+    assert np.array_equal(decode_values(encode_values(x)).view(np.uint64), x.view(np.uint64))
+
+
+def test_values_rounding_boundary_xors():
+    # XOR patterns whose float64 conversion rounds up to the next power of
+    # two exercise the bit_length correction branch
+    pats = np.array([(1 << 53) - 1, (1 << 54) - 1, (1 << 63) - 1, (1 << 64) - 1, 1 << 63], dtype=np.uint64)
+    x = np.bitwise_xor.accumulate(np.concatenate(([np.uint64(0)], pats))).view(np.float64)
+    assert np.array_equal(decode_values(encode_values(x)).view(np.uint64), x.view(np.uint64))
+
+
+def test_timestamps_dod_bucket_boundaries():
+    dods = np.array(
+        [-63, -64, 64, 65, -255, -256, 256, 257, -2047, -2048, 2048, 2049, 0, 1, -1, 2**40, -(2**40)],
+        dtype=np.int64,
+    )
+    deltas = np.concatenate(([1000], 1000 + np.cumsum(dods)))
+    ts = np.concatenate(([1_000_000], 1_000_000 + np.cumsum(deltas))).astype(np.int64)
+    assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts)
+
+
+def test_random_scale_mix_roundtrip():
+    for seed in range(20):
+        r = np.random.default_rng(seed)
+        n = int(r.integers(0, 400))
+        x = r.standard_normal(n) * r.choice([1e-300, 1e-8, 1.0, 1e12, 1e300])
+        assert np.array_equal(decode_values(encode_values(x)).view(np.uint64), x.view(np.uint64))
+        ts = np.cumsum(r.integers(-(2**40), 2**40, size=n)).astype(np.int64)
+        assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts)

@@ -37,6 +37,7 @@ from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_sparse_df
 
 cores = int(sys.argv[1]); pages_path = sys.argv[2]; out = sys.argv[3]
 mode = sys.argv[4] if len(sys.argv) > 4 else "threads"
+compress = len(sys.argv) > 5 and sys.argv[5] == "compress"
 if mode == "executors":
     # N separate executor JVMs x 4 cores each — cluster-faithful: shuffle,
     # Arrow serving, parquet writes and GC all scale per-executor, as on a
@@ -81,6 +82,16 @@ for name, nxt in (("1h", "day"), ("1d", "week"), ("1w", None)):
     if nxt:
         tier = rollup_tier(materialized, nxt)
     phases[f"derive_{{name}}"] = round(time.time() - tp, 1)
+    if compress:
+        # the Gorilla-compressed sink is part of the production pipeline
+        # (pipeline.py cfg.compress=True); include its cost in the wall
+        tp = time.time()
+        from stl_decomp_4j_spark.operators.compress import compress_tier
+        comps = ["value", "trend", "seasonal", "residual"]
+        cols = comps if name == "1h" else [f"sum_{{c}}" for c in comps]
+        compress_tier(materialized.select("url", "ts", *cols)).write.mode(
+            "overwrite").parquet(f"{{out}}/gorilla_{{name}}_{{cores}}")
+        phases[f"gorilla_{{name}}"] = round(time.time() - tp, 1)
 wall = time.time() - t0
 print(json.dumps({{"cores": cores, "points": points, "wall_s": wall,
                    "points_per_sec": points / wall, "phases": phases}}))
@@ -88,7 +99,7 @@ spark.stop()
 """
 
 
-def run(cores: int, pages_path: str, out: str, mode: str = "threads") -> dict:
+def run(cores: int, pages_path: str, out: str, mode: str = "threads", compress: bool = False) -> dict:
     script = WORKER.format(repo=str(REPO))
     # Pin the ENTIRE run (JVM + python workers, which inherit affinity) to
     # `cores` physical CPUs.  Without this, a local[8] run on a 32-core host
@@ -97,7 +108,7 @@ def run(cores: int, pages_path: str, out: str, mode: str = "threads") -> dict:
     # cluster could match, and understating scaling efficiency.
     proc = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", script,
-         str(cores), pages_path, out, mode],
+         str(cores), pages_path, out, mode, "compress" if compress else "plain"],
         capture_output=True, text=True, timeout=3600,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
@@ -118,6 +129,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--mode", choices=["threads", "executors"], default="threads",
                     help="threads: one JVM local[N]; executors: local-cluster with N/4 executor JVMs x 4 cores")
+    ap.add_argument("--compress", action="store_true",
+                    help="include the Gorilla-compressed tier sink in the timed job")
     args = ap.parse_args()
 
     out = args.out or tempfile.mkdtemp(prefix="scaling_bench_", dir="/dev/shm")
@@ -141,14 +154,15 @@ spark.stop()
     # run — both sizes see the same environment distribution
     runs = {args.small: [], args.large: []}
     for _ in range(args.repeats):
-        runs[args.small].append(run(args.small, pages_path, out, args.mode))
-        runs[args.large].append(run(args.large, pages_path, out, args.mode))
+        runs[args.small].append(run(args.small, pages_path, out, args.mode, args.compress))
+        runs[args.large].append(run(args.large, pages_path, out, args.mode, args.compress))
     small = max(runs[args.small], key=lambda r: r["points_per_sec"])
     large = max(runs[args.large], key=lambda r: r["points_per_sec"])
     ratio = args.large // args.small
     eff = large["points_per_sec"] / (ratio * small["points_per_sec"])
     result = {
         "mode": args.mode,
+        "compress": args.compress,
         "input": {"urls": args.urls, "days": args.days, "events_per_url": args.events_per_url},
         "small": small,
         "large": large,
