@@ -644,4 +644,68 @@ def oracle_sql() -> dict[str, str]:
             FROM scored QUALIFY rank <= 10
         """,
         "gorilla_roundtrip": gapfill,
+        **_stl_fixture_oracles(),
+    }
+
+
+def _stl_fixture_oracles() -> dict[str, str]:
+    """Oracles for the STL family: expected outputs produced by the REFERENCE
+    Java library itself (tools/make_stl_fixtures.py compiles stl-decomp-4j
+    with javac and runs it on the DuckDB-gap-filled series), committed as
+    parquet fixtures.  Each fixture carries rows for every test sf tagged
+    with that sf's total event count, so one fixed SQL string selects the
+    right rows via the ``n_events = (SELECT count(*) FROM events)``
+    discriminator."""
+    fix = str(Path(__file__).resolve().parent / "tests" / "fixtures" / "oracle")
+    disc = "n_events = (SELECT count(*) FROM events)"
+    ts = "strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts"
+    tier = f"""
+        WITH h AS (SELECT * FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc})
+        SELECT url, strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ts,
+               round(sum(value), 6) AS sum_value, round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value,
+               round(sum(trend), 6) AS sum_trend, round(min(trend), 6) AS min_trend,
+               round(max(trend), 6) AS max_trend,
+               round(sum(seasonal), 6) AS sum_seasonal, round(min(seasonal), 6) AS min_seasonal,
+               round(max(seasonal), 6) AS max_seasonal,
+               round(sum(residual), 6) AS sum_residual, round(min(residual), 6) AS min_residual,
+               round(max(residual), 6) AS max_residual,
+               count(*) AS cnt
+        FROM h GROUP BY url, date_trunc('day', ts)
+    """
+    return {
+        "stl_decompose_events": f"""
+            SELECT url, {ts}, value, round(trend, 6) AS trend,
+                   round(seasonal, 6) AS seasonal, round(residual, 6) AS residual
+            FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc}
+        """,
+        "stl_tier_1d": tier,
+        "stl_tier_1d_fused": tier,
+        "stl_periodic": f"""
+            SELECT url, {ts}, round(trend, 6) AS trend, round(seasonal, 6) AS seasonal
+            FROM read_parquet('{fix}/stl_periodic.parquet') WHERE {disc}
+        """,
+        "stl_robust_periodic": f"""
+            SELECT url, {ts}, round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+                   round(weight, 6) AS weight
+            FROM read_parquet('{fix}/stl_robust_periodic.parquet') WHERE {disc}
+        """,
+        "stl_seasonal_smooth": f"""
+            SELECT url, {ts}, round(seasonal_smoothed, 6) AS seasonal_smoothed,
+                   round(residual, 6) AS residual
+            FROM read_parquet('{fix}/stl_seasonal_smooth.parquet') WHERE {disc}
+        """,
+        "stl_exogenous": f"""
+            SELECT url, {ts}, round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+                   round(residual, 6) AS residual
+            FROM read_parquet('{fix}/stl_exogenous.parquet') WHERE {disc}
+        """,
+        "stl_fit_stats": f"""
+            SELECT url, round(data_mean, 6) AS data_mean, round(data_variance, 6) AS data_variance,
+                   round(trend_range, 6) AS trend_range,
+                   round(seasonal_variance, 6) AS seasonal_variance,
+                   round(residual_variance, 6) AS residual_variance,
+                   round(trendiness_z, 6) AS trendiness_z, round(seasonal_z, 6) AS seasonal_z
+            FROM read_parquet('{fix}/stl_fit_stats.parquet') WHERE {disc}
+        """,
     }
