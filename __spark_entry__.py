@@ -212,7 +212,9 @@ def q_ann_lsh(spark, sf_dir):
 def q_embedding_near_dup_lsh(spark, sf_dir):
     from stl_decomp_4j_spark.operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(spark.read.parquet(_t(sf_dir, "embeddings")), threshold=0.5)
+    # 0.35 (not the production-ish 0.95) so the random test embeddings yield
+    # a non-trivial pair set for the oracle to cross-check
+    return embedding_near_dup_pairs(spark.read.parquet(_t(sf_dir, "embeddings")), threshold=0.35)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -645,6 +647,82 @@ def oracle_sql() -> dict[str, str]:
         """,
         "gorilla_roundtrip": gapfill,
         **_stl_fixture_oracles(),
+        **_lsh_oracles(),
+    }
+
+
+def _lsh_oracles() -> dict[str, str]:
+    """Oracles for the LSH-family queries.
+
+    - simhash_pairs: per-doc fingerprints come from an independent
+      pure-Python implementation (own xxHash64 + vote aggregation,
+      tools/make_simhash_fixture.py) committed as a fixture; the banding
+      (hamming<=max AND at least one equal 16-bit block) and popcount pair
+      logic is reproduced in SQL.
+    - ann_lsh / embedding_near_dup_lsh: the random hyperplanes are shared
+      CONFIG (a committed fixture); bucketing (sign of list_dot_product),
+      Hamming-ball candidate generation, and exact cosine verification are
+      all recomputed independently in DuckDB SQL.
+    """
+    fix = str(Path(__file__).resolve().parent / "tests" / "fixtures" / "oracle")
+    blocks = " OR ".join(
+        f"((a.simhash >> {16 * b}) & 65535) = ((b.simhash >> {16 * b}) & 65535)" for b in range(4)
+    )
+    planes = f"pl AS (SELECT p, plane FROM read_parquet('{fix}/hyperplanes_d64_p8.parquet'))"
+    bucketed = """
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        buck AS (
+            SELECT e.vec_id,
+                   sum(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+                            THEN (1 << pl.p) ELSE 0 END)::BIGINT AS bucket
+            FROM e, pl GROUP BY e.vec_id
+        )
+    """
+    cos = (
+        "round(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
+    return {
+        "simhash_pairs": f"""
+            WITH fx AS (
+                SELECT doc_id, simhash FROM read_parquet('{fix}/simhash.parquet')
+                WHERE sum_chars = (SELECT sum(n_chars) FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM fx a JOIN fx b ON a.doc_id < b.doc_id
+            WHERE ({blocks})
+              AND bit_count(xor(a.simhash, b.simhash)) <= 4
+        """,
+        "ann_lsh": f"""
+            WITH {planes}, {bucketed},
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            qb AS (
+                SELECT sum(CASE WHEN list_dot_product(q.qv, pl.plane) > 0
+                                THEN (1 << pl.p) ELSE 0 END)::BIGINT AS qbucket
+                FROM q, pl
+            ),
+            scored AS (
+                SELECT e.vec_id,
+                       round(list_dot_product(e.v, q.qv) /
+                             (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+                FROM e JOIN buck USING (vec_id), q, qb
+                WHERE bit_count(xor(buck.bucket, qb.qbucket)) <= 2
+            )
+            SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+            FROM scored QUALIFY rank <= 10
+        """,
+        "embedding_near_dup_lsh": f"""
+            WITH {planes}, {bucketed},
+            cand AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM buck a JOIN buck b
+                  ON a.vec_id < b.vec_id AND bit_count(xor(a.bucket, b.bucket)) <= 1
+            )
+            SELECT c.id_a, c.id_b, {cos} AS cos
+            FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+            WHERE {cos} >= 0.35
+        """,
     }
 
 
