@@ -158,6 +158,9 @@ def decompose(
     **kwargs,
 ) -> Decomposition:
     """Convenience: derive the config for this series length and decompose."""
+    if data is None:
+        # ref: SeasonalTrendLoess.Builder.buildSmoother null check
+        raise ValueError("decompose: data must be non-null")
     config = build_stl_config(len(data), period, **kwargs)
     return stl_decompose(data, config, exog=exog)
 
