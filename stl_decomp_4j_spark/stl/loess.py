@@ -27,12 +27,20 @@ from . import commons_svd
 def _seqsum(a: np.ndarray) -> np.ndarray:
     """Left-to-right sequential row sum (bit-identical to the reference's
     scalar accumulation loops, unlike NumPy's pairwise np.sum)."""
-    return np.cumsum(a, axis=1)[:, -1]
+    return a.cumsum(axis=1)[:, -1]
 
 
 # per-process memo for the data-independent loess geometry (see smooth_windows)
 _GEOM_CACHE: dict = {}
 _GEOM_CACHE_MAX = 64
+
+# per-process memo for the FINAL normalized+degree-updated weight matrix of
+# non-robust smooths: with no external weights the whole weight pipeline is
+# data-independent, so a repeat call with the same geometry reduces to one
+# multiply+reduction.  A hit replays the exact weights the full pipeline
+# produced (cached after computing them once), so bit-parity is untouched.
+_WEIGHT_CACHE: dict = {}
+_WEIGHT_CACHE_MAX = 64
 
 
 def smooth_windows(
@@ -64,6 +72,11 @@ def smooth_windows(
     # worker process; a cache hit replays the exact same float64 values, so
     # bit-parity is untouched.
     key = (data_len, width, L, xs.tobytes(), lefts.tobytes())
+    if ext_w is None:
+        wc = _WEIGHT_CACHE.get((key, degree))
+        if wc is not None:
+            w_final, ok = wc
+            return _seqsum(w_final * vals), ok
     cached = _GEOM_CACHE.get(key)
     if cached is None:
         offs = np.arange(L, dtype=np.float64)
@@ -133,6 +146,10 @@ def smooth_windows(
             adj = 1.0 + a1[:, None] * (fidx - x1m[:, None]) + a2[:, None] * (fidx * fidx - x2m[:, None])
             w = np.where(use[:, None], w * adj, w)
 
+    if ext_w is None:
+        if len(_WEIGHT_CACHE) >= _WEIGHT_CACHE_MAX:
+            _WEIGHT_CACHE.pop(next(iter(_WEIGHT_CACHE)))
+        _WEIGHT_CACHE[(key, degree)] = (w, ok)
     ys = _seqsum(w * vals)
     return ys, ok
 
