@@ -24,7 +24,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from ..functions.text import fingerprint, shingle_select
 
 
 def _bit_lit(b: int):
@@ -66,20 +65,38 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.repartition(par, F.col(id_col))
 
 
-def _shingle_table(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    # the >=k-words filter lives inside shingle_select, BEFORE the shingle
-    # projection — filtering on the computed array here would inline the
-    # interpreted shingle lambda into the predicate and run it twice per row
-    return shingle_select(_spread(docs, id_col), text_col, id_col, k)
+def shingle_hash_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """(doc_id, h: long) — one row per word-k-gram occurrence (NOT deduped;
+    collect_set / min-aggregation downstream dedup as needed), each k-gram
+    string-hashed ONCE with xxhash64.
 
+    Built entirely from codegen operators: posexplode the split words, then
+    window lead(w, 1..k-1) per doc reassembles the k-grams.  The previous
+    array-transform formulation used a Catalyst higher-order-function lambda,
+    which is interpreted per element AND gets inlined into downstream
+    Generates, re-evaluating split() per element_at — O(words^2) per row
+    (measured 2.5-4x slower at sf0.1).  The window needs the same doc_id
+    hash partitioning the downstream aggregations need anyway, and it ships
+    single words, not k-word strings, across the shuffle."""
+    from pyspark.sql import Window
 
-def shingle_hashes(shingled: DataFrame) -> DataFrame:
-    """(doc_id, h: long) — one row per distinct shingle, string-hashed ONCE
-    with xxhash64.  Everything downstream (minhash family, exact-Jaccard
-    verify) works on the 8-byte hash, never re-shipping shingle strings."""
-    return shingled.select("doc_id", F.explode("shingles").alias("sh")).select(
-        "doc_id", F.xxhash64("sh").alias("h")
+    words = (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__words"),
+        )
+        .filter(F.size("__words") >= k)
     )
+    pos = words.select("doc_id", F.posexplode("__words").alias("pos", "w0"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = pos.select(
+        "doc_id", "w0", *[F.lead("w0", j).over(win).alias(f"w{j}") for j in range(1, k)]
+    )
+    if k > 1:
+        grams = grams.filter(F.col(f"w{k - 1}").isNotNull())
+    gram = F.concat_ws(" ", *[f"w{j}" for j in range(k)])
+    return grams.select("doc_id", F.xxhash64(gram).alias("h"))
 
 
 def minhash_signatures_from_hashes(hashed: DataFrame, num_perm: int = 64) -> DataFrame:
@@ -96,8 +113,8 @@ def minhash_signatures_from_hashes(hashed: DataFrame, num_perm: int = 64) -> Dat
     return sigs.select("doc_id", F.array(*[f"mh{p}" for p in range(num_perm)]).alias("sig"))
 
 
-def minhash_signatures(shingled: DataFrame, num_perm: int = 64) -> DataFrame:
-    return minhash_signatures_from_hashes(shingle_hashes(shingled), num_perm)
+def minhash_signatures(docs: DataFrame, num_perm: int = 64, k: int = 3) -> DataFrame:
+    return minhash_signatures_from_hashes(shingle_hash_rows(docs, k=k), num_perm)
 
 
 def lsh_candidate_pairs(signed: DataFrame, bands: int = 32, rows_per_band: int = 2) -> DataFrame:
@@ -143,24 +160,30 @@ def dedup_minhash_lsh(
     """
     from pyspark import StorageLevel
 
-    # the hashed-shingle table feeds three consumers (signature agg + both
+    # the per-doc hash-set table feeds three consumers (signature agg + both
     # sides of the verify join); cache it once instead of re-shingling 3x.
-    # persist (recomputable lineage, spills to disk) rather than
-    # localCheckpoint: localCheckpoint is eager but stores blocks on executor
-    # local storage only, so losing an executor after it makes the truncated
-    # lineage unrecoverable and fails the job on a real cluster.  At cluster
-    # scale this is the persisted shingle/signature table a production dedup
-    # pipeline keeps anyway.
-    hashed = shingle_hashes(_shingle_table(docs, text_col, id_col, k)).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # persist (recoverable lineage, spills to disk) rather than
+    # localCheckpoint — localCheckpoint blocks live on executor-local storage
+    # only, so an executor loss after it fails the job on a real cluster; the
+    # count() materializes eagerly so sibling stages never race-compute the
+    # cache.  At cluster scale this is the persisted shingle/signature table
+    # a production dedup pipeline keeps anyway — and it holds 8-byte hashes,
+    # not k-gram strings.
+    sets_ = (
+        shingle_hash_rows(docs, text_col, id_col, k)
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    signed = minhash_signatures_from_hashes(hashed, num_perm)
+    sets_.count()
+    signed = minhash_signatures_from_hashes(
+        sets_.select("doc_id", F.explode("sh").alias("h")), num_perm
+    )
     cands = lsh_candidate_pairs(signed, bands, rows_per_band)
     # exact verify on int64 shingle-hash sets: Jaccard on hashes is identical
     # to Jaccard on strings modulo 64-bit collisions (odds ~ shingles^2/2^64
     # per doc pair), and the verify join ships 8 bytes per shingle instead of
     # the full k-gram string — the dominant shuffle-bytes knob at scale.
-    sets_ = hashed.groupBy("doc_id").agg(F.collect_set("h").alias("sh"))
     pairs = (
         cands.join(sets_.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets_.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
