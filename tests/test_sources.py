@@ -37,3 +37,34 @@ def test_read_co2_and_roundtrip_17_digits(spark, tmp_path):
     parsed = json.loads(js)
     assert set(parsed) == {"time", "value", "seasonal", "trend", "residual", "weight"}
     assert len(parsed["value"]) == 708
+
+
+def test_rest_server_serves_stl_results():
+    """Engine twin of the reference demo REST server
+    (examples/StlDemoRestServer/StlDemoRestServer.java:27-60): CO2
+    decomposition served as StlResults JSON with CORS."""
+    import json
+    import threading
+    import urllib.request
+    from http.server import HTTPServer
+
+    import numpy as np
+
+    from jobs.stl_rest_server import _Handler, build_results_json
+
+    _Handler.results_json = build_results_json()
+    httpd = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=httpd.handle_request, daemon=True)
+    t.start()
+    with urllib.request.urlopen(f"http://127.0.0.1:{httpd.server_port}/stldemo") as resp:
+        assert resp.status == 200
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
+        body = json.load(resp)
+    t.join(timeout=5)
+    httpd.server_close()
+    assert set(body) == {"time", "value", "seasonal", "trend", "residual", "weight"}
+    n = len(body["value"])
+    assert n == 708 and all(len(body[k]) == n for k in body)
+    # decomposition identity holds through the JSON surface
+    arr = {k: np.array(body[k]) for k in ("value", "seasonal", "trend", "residual")}
+    assert np.allclose(arr["value"], arr["seasonal"] + arr["trend"] + arr["residual"], atol=1e-9)
