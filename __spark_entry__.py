@@ -209,6 +209,14 @@ def q_ann_lsh(spark, sf_dir):
     return ann_lsh_topk(emb, q, k=10, multiprobe_bits=2).select("vec_id", "rank")
 
 
+def q_ann_ivf(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.similarity import ann_ivf_topk
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return ann_ivf_topk(emb, q, k=10, n_clusters=16, nprobe=4).select("vec_id", "rank")
+
+
 def q_embedding_near_dup_lsh(spark, sf_dir):
     from stl_decomp_4j_spark.operators.similarity import embedding_near_dup_pairs
 
@@ -486,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_bf": q_embedding_near_dup_bf,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "simhash_pairs": q_simhash_pairs,
         "stl_decompose_events": q_stl_decompose_events,
@@ -708,6 +717,35 @@ def _lsh_oracles() -> dict[str, str]:
                              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
                 FROM e JOIN buck USING (vec_id), q, qb
                 WHERE bit_count(xor(buck.bucket, qb.qbucket)) <= 2
+            )
+            SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
+            FROM scored QUALIFY rank <= 10
+        """,
+        "ann_ivf": f"""
+            WITH cen AS (
+                SELECT cluster, centroid FROM read_parquet('{fix}/ivf_centroids.parquet')
+                WHERE disc = (SELECT sum(label) FROM embeddings)
+            ),
+            e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            assigned AS (
+                SELECT e.vec_id, e.v,
+                       arg_min(cen.cluster,
+                               list_dot_product(cen.centroid, cen.centroid) / 2
+                               - list_dot_product(e.v, cen.centroid)) AS cluster
+                FROM e, cen GROUP BY e.vec_id, e.v
+            ),
+            probes AS (
+                SELECT cen.cluster FROM cen, q
+                ORDER BY list_dot_product(cen.centroid, cen.centroid) / 2
+                         - list_dot_product(q.qv, cen.centroid)
+                LIMIT 4
+            ),
+            scored AS (
+                SELECT a.vec_id,
+                       round(list_dot_product(a.v, q.qv) /
+                             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+                FROM assigned a, q WHERE a.cluster IN (SELECT cluster FROM probes)
             )
             SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS rank
             FROM scored QUALIFY rank <= 10

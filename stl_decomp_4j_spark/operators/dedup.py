@@ -13,17 +13,17 @@ All variants are pure DataFrame ops (JVM-side expressions; no Python UDFs):
 - embedding:    random-hyperplane LSH buckets -> exact cosine verification
                 (see similarity.py for the cosine primitives).
 
-Scale notes: the shuffles are (a) explode shingles -> groupBy doc (bounded by
-shingle count), (b) band bucket self-join (AQE skew-join handles hot
-buckets), (c) candidate-pair join back to shingle sets.  At 10^12 docs the
-band join is the hot spot — band count and rows-per-band trade recall
-against candidate volume; both are explicit knobs.
+Scale notes: the shuffles are (a) posexplode words -> per-doc window +
+hash-set aggregation (bounded by word count; ships single words, then 8-byte
+hashes), (b) band bucket self-join (AQE skew-join handles hot buckets),
+(c) candidate-pair join back to the int64 hash sets.  At 10^12 docs the band
+join is the hot spot — band count and rows-per-band trade recall against
+candidate volume; both are explicit knobs.
 """
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
-
 
 
 def _bit_lit(b: int):

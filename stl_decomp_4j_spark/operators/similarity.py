@@ -154,6 +154,72 @@ def ann_lsh_topk(
     return _ranked_topk(scored, k)
 
 
+def kmeans_centroids(mat: np.ndarray, k: int, iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic Lloyd k-means (NumPy, fixed seed/iterations) for the IVF
+    coarse quantizer.  Runs on a bounded driver-side TRAINING SAMPLE only —
+    the full table is never collected; assignment is distributed."""
+    rng = np.random.default_rng(seed)
+    mat = np.asarray(mat, dtype=np.float64)
+    cent = mat[rng.choice(len(mat), size=min(k, len(mat)), replace=False)].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for j in range(len(cent)):
+            members = mat[assign == j]
+            if len(members):
+                cent[j] = members.mean(0)
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Vectorized pandas UDF: nearest-centroid id per vector (one matmul per
+    Arrow batch; argmin over ||v||^2 - 2 v.c + ||c||^2, the ||v||^2 term
+    dropped as assignment-invariant)."""
+    ct = np.ascontiguousarray(centroids.T, dtype=np.float64)
+    half_cc = 0.5 * np.einsum("ij,ij->i", centroids, centroids)
+
+    @F.pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        mat = _stack(v)
+        return pd.Series((half_cc[None, :] - mat @ ct).argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_train_sample: int = 4096,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer buckets the vectors;
+    only the ``nprobe`` clusters nearest to the query are scanned, then
+    exact-cosine reranked.  The 100-TB shape: centroids train on a bounded
+    sample and broadcast with the UDF; assignment, probe filtering and
+    rerank are fully distributed (no driver loop over data)."""
+    qv = np.asarray(query, dtype=np.float64)
+    if centroids is None:
+        sample = embeddings.select(vec_col).orderBy(id_col).limit(max_train_sample).collect()
+        mat = np.array([list(map(float, r[vec_col])) for r in sample])
+        centroids = kmeans_centroids(mat, n_clusters)
+    qd = ((centroids - qv[None, :]) ** 2).sum(1)
+    probes = [int(c) for c in np.argsort(qd)[:nprobe]]
+    assign = ivf_assign_udf(centroids)
+    cands = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("v"),
+        assign(_as_double(F.col(vec_col))).alias("cluster"),
+    ).filter(F.col("cluster").isin(probes))
+    cos = cosine_vs_query_udf(query)
+    scored = cands.select("vec_id", F.round(cos(F.col("v")), 6).alias("cos"))
+    return _ranked_topk(scored, k)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

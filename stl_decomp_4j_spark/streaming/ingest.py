@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import (
     BinaryType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -58,6 +59,74 @@ def stream_bucketize(
         .groupBy("url", F.window("warc_ts", window).alias("w"))
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("url", F.col("w.start").alias("ts"), "cnt")
+    )
+
+
+BUCKET_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def stream_gapfill_stateful(bucket_rows: DataFrame, step_seconds: int = 3600) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): streaming gap-fill.
+
+    Consumes finalized (url, ts, cnt) bucket rows (e.g. the append-mode
+    output of stream_bucketize re-streamed from the buckets table) and emits
+    the DENSE grid rows (url, ts, value) exactly once per grid slot per url:
+    observed count where a bucket exists, 0.0 for the gaps — including gaps
+    that span micro-batches or restarts.  Per-url state is one int64 (the
+    last emitted grid slot), checkpointed by Spark; state size is O(urls),
+    independent of history length.
+
+    This is the engine's arbitrary-stateful-streaming surface; the built-in
+    watermarked aggregation (stream_bucketize) stays the ingestion path and
+    the numerically heavy STL stays in deterministic batch (ingest module
+    docstring).
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, LongType
+
+    out_schema = StructType(
+        [
+            StructField("url", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_slot", LongType())])
+
+    def fn(key, pdf_iter, state):
+        import numpy as np
+
+        url = key[0]
+        parts = [pdf for pdf in pdf_iter if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values("ts")
+        ts = pdf["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
+        cnt = pdf["cnt"].to_numpy(dtype=float)
+        (last,) = state.get if state.exists else (None,)
+        t0 = ts.min() if last is None else last + step_seconds
+        t1 = ts.max()
+        if t1 < t0:  # stale replay entirely behind the state: emit nothing
+            return
+        grid = np.arange(t0, t1 + 1, step_seconds)
+        vals = np.zeros(len(grid))
+        keep = ts >= t0
+        vals[(ts[keep] - t0) // step_seconds] = cnt[keep]
+        state.update((int(t1),))
+        yield pd.DataFrame(
+            {"url": url, "ts": grid.astype("datetime64[s]"), "value": vals}
+        )
+
+    return (
+        bucket_rows.groupBy("url")
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", "NoTimeout")
     )
 
 

@@ -53,3 +53,52 @@ def test_stream_bucketize_matches_batch(spark, tmp_path):
     ).count()
     assert got.count() >= batch.count() - open_allowed
     assert got.count() > 0
+
+
+def test_stream_gapfill_stateful_across_restarts(spark, tmp_path):
+    """applyInPandasWithState gap-fill: dense grid emitted exactly once per
+    (url, hour), gaps filled with 0 — including gaps spanning micro-batches
+    and a query RESTART (state restored from the checkpoint)."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from stl_decomp_4j_spark.streaming.ingest import BUCKET_SCHEMA, stream_gapfill_stateful
+
+    src = str(tmp_path / "bucket_rows")
+    out = str(tmp_path / "dense")
+    ckpt = str(tmp_path / "gf_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(hours_counts, url="u1"):
+        return [(url, t0 + dt.timedelta(hours=h), c) for h, c in hours_counts]
+
+    # batch 1: hours 0,1,4 observed (2,3 are gaps); url2 hours 0,2
+    b1 = rows([(0, 5), (1, 2), (4, 7)]) + rows([(0, 1), (2, 3)], url="u2")
+    spark.createDataFrame(b1, BUCKET_SCHEMA).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(BUCKET_SCHEMA).parquet(src)
+        q = (
+            stream_gapfill_stateful(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    # batch 2 (after a full restart): hours 7,8 for u1 -> 5,6 must be gap rows
+    spark.createDataFrame(rows([(7, 4), (8, 1)]), BUCKET_SCHEMA).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(out).toPandas()
+    u1 = got[got["url"] == "u1"].sort_values("ts")
+    hours = [(ts - t0).total_seconds() / 3600 for ts in u1["ts"]]
+    assert hours == [0, 1, 2, 3, 4, 5, 6, 7, 8]  # dense, exactly once
+    assert list(u1["value"]) == [5.0, 2.0, 0.0, 0.0, 7.0, 0.0, 0.0, 4.0, 1.0]
+    u2 = got[got["url"] == "u2"].sort_values("ts")
+    assert list(u2["value"]) == [1.0, 0.0, 3.0]

@@ -160,3 +160,23 @@ def test_multimodal_plumbing(spark, docs):
     assert (frames["frame_no"] % 8 == 0).all()
     with pytest.raises(NotImplementedError):
         extract_features(media, fake=False)
+
+
+def test_ann_ivf_recall_and_exact_scores(spark, embeddings):
+    from stl_decomp_4j_spark.operators.similarity import ann_ivf_topk
+
+    pdf = embeddings.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(float)
+    q = mat[1]
+    exact = brute_force_topk(embeddings, list(map(float, q)), k=10).toPandas()
+    approx = ann_ivf_topk(embeddings, list(map(float, q)), k=10, n_clusters=16, nprobe=4).toPandas()
+    # nprobe=4 of 16 clusters scans ~1/4 of the data; with weakly-clustered
+    # random embeddings recall is a knob, but the query's own nearest
+    # neighborhood concentrates in the probed clusters
+    recall = len(set(exact["vec_id"]) & set(approx["vec_id"])) / 10
+    assert recall >= 0.3
+    assert 1 in set(approx["vec_id"])  # the query vector's own id
+    all_scored = brute_force_topk(embeddings, list(map(float, q)), k=len(pdf)).toPandas()
+    truth = all_scored.set_index("vec_id")["cos"]
+    for r in approx.itertuples():
+        assert abs(truth[r.vec_id] - r.cos) < 1e-9
