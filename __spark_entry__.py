@@ -672,6 +672,9 @@ def _lsh_oracles() -> dict[str, str]:
       CONFIG (a committed fixture); bucketing (sign of list_dot_product),
       Hamming-ball candidate generation, and exact cosine verification are
       all recomputed independently in DuckDB SQL.
+    - multimodal_features: the deterministic fake decoder re-implemented in
+      independent pure Python (tools/make_multimodal_fixture.py — own
+      xxHash64/sha256/splitmix64), verifying the Spark plumbing end-to-end.
     """
     fix = str(Path(__file__).resolve().parent / "tests" / "fixtures" / "oracle")
     blocks = " OR ".join(
@@ -692,6 +695,11 @@ def _lsh_oracles() -> dict[str, str]:
         "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
     )
     return {
+        "multimodal_features": f"""
+            SELECT media_id, kind, width, height, n_frames, round(f0, 6) AS f0
+            FROM read_parquet('{fix}/multimodal.parquet')
+            WHERE sum_chars = (SELECT sum(n_chars) FROM documents)
+        """,
         "simhash_pairs": f"""
             WITH fx AS (
                 SELECT doc_id, simhash FROM read_parquet('{fix}/simhash.parquet')
