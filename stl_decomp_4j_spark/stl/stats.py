@@ -59,6 +59,30 @@ class StlFitStats:
         var = sigma * sigma
         return -0.5 * self.sample_size * (self.residual_var_mle / var + math.log(2 * math.pi * var))
 
+    def __str__(self) -> str:
+        """Reference-format report (ref: main/stl/StlFitStats.java:321-349,
+        Java '%10f' fields — width 10, 6 decimals)."""
+        fields = [
+            ("Data Mean           ", self.data_mean),
+            ("Data Variance       ", self.data_variance),
+            ("Trend Mean          ", self.trend_mean),
+            ("Trend Range         ", self.trend_range),
+            ("Seasonal Mean       ", self.seasonal_mean),
+            ("Seasonal Variance   ", self.seasonal_variance),
+            ("Seasonal Range      ", self.seasonal_range),
+            ("De-Seasonal Mean    ", self.de_seasonal_mean),
+            ("De-Seasonal Variance", self.de_seasonal_variance),
+            ("De-Trend Mean       ", self.de_trend_mean),
+            ("De-Trend Variance   ", self.de_trend_variance),
+            ("Residual Mean       ", self.residual_mean),
+            ("Residual Variance   ", self.residual_variance),
+            ("Var(ResSampleVar)   ", self.estimated_variance_of_residual_sample_variance),
+            ("Trend Test ZScore   ", self.trendiness_z_score),
+            ("Seasonal Test ZScore", self.seasonal_z_score),
+            ("SeasonalVar/ResidVar", self.seasonal_variance / self.residual_variance),
+        ]
+        return "\n".join(f"{name} = {value:10f}" for name, value in fields)
+
 
 def _mean_var(x: np.ndarray, n: int):
     """Mean and Bessel-corrected variance via the reference's sum-of-squares
