@@ -106,14 +106,28 @@ def _pack_fields(values: np.ndarray, widths: np.ndarray) -> bytes:
 def _unpack_fields(bitstream: np.ndarray, widths: np.ndarray) -> np.ndarray:
     """Inverse of _pack_fields: ``bitstream`` is the unpacked 0/1 array;
     returns one uint64 per row.  The fields are scattered into a (m, 64)
-    right-aligned bit matrix and packed back to integers in one pass."""
+    right-aligned bit matrix (single wraparound-free uint8 compare for the
+    mask) and packed back to integers in one flat packbits pass."""
     m = len(widths)
     out_bits = np.zeros((m, 64), dtype=np.uint8)
-    cols = np.arange(64, dtype=np.int64)[None, :]
-    valid = cols >= (64 - widths.astype(np.int64))[:, None]
+    valid = _COLS64 >= (np.uint8(64) - widths.astype(np.uint8))[:, None]
     total = int(widths.sum())
     out_bits[valid] = bitstream[:total]
-    return np.packbits(out_bits, axis=1).view(">u8").reshape(m).astype(_U64)
+    return np.packbits(out_bits.reshape(-1)).view(">u8").astype(_U64)
+
+
+def _unpack12(buf: bytes, m: int) -> np.ndarray:
+    """Arithmetic inverse of _pack12: m 12-bit fields from the byte stream."""
+    m2 = m + (m & 1)
+    need = m2 // 2 * 3
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if len(b) < need:
+        b = np.concatenate([b, np.zeros(need - len(b), dtype=np.uint8)])
+    b = b[:need].reshape(-1, 3).astype(np.uint16)
+    out = np.empty(m2, dtype=np.int64)
+    out[0::2] = (b[:, 0].astype(np.int64) << 4) | (b[:, 1] >> 4)
+    out[1::2] = ((b[:, 1].astype(np.int64) & 15) << 8) | b[:, 2]
+    return out[:m]
 
 
 def encode_values(values: np.ndarray) -> bytes:
@@ -161,8 +175,7 @@ def decode_values(chunk: bytes) -> np.ndarray:
     if m:
         off = 12 + flags_len
         hdr_len = (12 * m + 7) // 8
-        hdr_bits = np.unpackbits(np.frombuffer(chunk[off : off + hdr_len], dtype=np.uint8))[: 12 * m]
-        hdr = _unpack_fields(hdr_bits, np.full(m, 12, dtype=np.int64)).astype(np.int64)
+        hdr = _unpack12(chunk[off : off + hdr_len], m)
         nlead = hdr >> 6
         mlen = (hdr & 63) + 1
         pay_bits = np.unpackbits(np.frombuffer(chunk[off + hdr_len :], dtype=np.uint8))
@@ -237,7 +250,7 @@ def decode_timestamps(chunk: bytes) -> np.ndarray:
             off = 20 + flags_len
             code_len = (2 * m + 7) // 8
             code_bits = np.unpackbits(np.frombuffer(chunk[off : off + code_len], dtype=np.uint8))[: 2 * m]
-            code = _unpack_fields(code_bits, np.full(m, 2, dtype=np.int64)).astype(np.int64)
+            code = (code_bits[0::2].astype(np.int64) << 1) | code_bits[1::2]
             widths = _DOD_WIDTHS[code]
             pay_bits = np.unpackbits(np.frombuffer(chunk[off + code_len :], dtype=np.uint8))
             biased = _unpack_fields(pay_bits, widths)

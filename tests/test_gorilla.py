@@ -107,3 +107,38 @@ def test_random_scale_mix_roundtrip():
         assert np.array_equal(decode_values(encode_values(x)).view(np.uint64), x.view(np.uint64))
         ts = np.cumsum(r.integers(-(2**40), 2**40, size=n)).astype(np.int64)
         assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts)
+
+
+# --- hypothesis property tests ---------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        arrays(
+            np.float64,
+            st.integers(0, 300),
+            elements=st.floats(
+                allow_nan=True, allow_infinity=True, allow_subnormal=True, width=64
+            ),
+        )
+    )
+    def test_values_roundtrip_hypothesis(x):
+        out = decode_values(encode_values(x))
+        assert np.array_equal(out.view(np.uint64), x.view(np.uint64))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        arrays(
+            np.int64,
+            st.integers(0, 300),
+            elements=st.integers(-(2**62), 2**62),
+        )
+    )
+    def test_timestamps_roundtrip_hypothesis(ts):
+        assert np.array_equal(decode_timestamps(encode_timestamps(ts)), ts)
+except ImportError:  # pragma: no cover
+    pass
