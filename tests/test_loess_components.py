@@ -262,3 +262,48 @@ def test_geom_cache_bitwise_stable():
         assert np.array_equal(c.seasonal, h.seasonal)
         assert np.array_equal(c.weights, h.weights)
     assert len(L._GEOM_CACHE) <= L._GEOM_CACHE_MAX
+
+
+def test_weight_cache_bitwise_stable_and_scoped():
+    """_WEIGHT_CACHE memoizes the FINAL non-robust weight matrices; a hit
+    must replay bitwise-identical outputs, and robust (external-weight)
+    smooths must NEVER read it — a robust decomposition's results may not
+    depend on whether the non-robust cache is warm."""
+    import numpy as np
+
+    from stl_decomp_4j_spark.stl import decompose
+    from stl_decomp_4j_spark.stl import loess as L
+
+    rng = np.random.default_rng(5)
+    y = rng.standard_normal(480) + np.sin(np.arange(480) * 2 * np.pi / 24)
+    y2 = rng.standard_normal(480) + 3.0
+
+    # cold non-robust, then warm non-robust: bitwise identical
+    L._GEOM_CACHE.clear()
+    L._WEIGHT_CACHE.clear()
+    cold = decompose(y, 24, seasonal_width=35)
+    assert len(L._WEIGHT_CACHE) > 0
+    warm = decompose(y, 24, seasonal_width=35)
+    assert np.array_equal(cold.trend, warm.trend)
+    assert np.array_equal(cold.seasonal, warm.seasonal)
+    # DIFFERENT data through the same (geometry, degree) cache entries:
+    # still bitwise-equal to a cold-cache run of that data
+    warm2 = decompose(y2, 24, seasonal_width=35)
+    L._GEOM_CACHE.clear()
+    L._WEIGHT_CACHE.clear()
+    cold2 = decompose(y2, 24, seasonal_width=35)
+    assert np.array_equal(cold2.trend, warm2.trend)
+    assert np.array_equal(cold2.seasonal, warm2.seasonal)
+
+    # robust runs are identical with a cold or a non-robust-warmed cache
+    L._GEOM_CACHE.clear()
+    L._WEIGHT_CACHE.clear()
+    robust_cold = decompose(y, 24, seasonal_width=35, robust=True)
+    L._GEOM_CACHE.clear()
+    L._WEIGHT_CACHE.clear()
+    decompose(y, 24, seasonal_width=35)  # warm the non-robust weight cache
+    robust_warm = decompose(y, 24, seasonal_width=35, robust=True)
+    assert np.array_equal(robust_cold.trend, robust_warm.trend)
+    assert np.array_equal(robust_cold.seasonal, robust_warm.seasonal)
+    assert np.array_equal(robust_cold.weights, robust_warm.weights)
+    assert len(L._WEIGHT_CACHE) <= L._WEIGHT_CACHE_MAX
