@@ -177,9 +177,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_embedding_near_dup_bf(spark, sf_dir):
-    from stl_decomp_4j_spark.operators.similarity import _as_double, pair_cosine_udf
+    from stl_decomp_4j_spark.operators.similarity import pair_cosine_udf
 
-    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select("vec_id", _as_double("embedding").alias("v"))
+    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select("vec_id", F.col("embedding").alias("v"))
     a, b = emb.alias("a"), emb.alias("b")
     pairs = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
     cos = pair_cosine_udf()
@@ -311,6 +311,9 @@ def q_stl_fit_stats(spark, sf_dir):
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from stl_decomp_4j_spark.plans.malloc import tune_malloc
+
+        tune_malloc()
         pdf = pdf.sort_values("ts")
         y = pdf["value"].to_numpy(dtype=float)
         d = decompose(y, 24, seasonal_width=35, robust=False)
@@ -330,7 +333,9 @@ def q_stl_fit_stats(spark, sf_dir):
             ]
         )
 
-    return series.groupBy("url").applyInPandas(fn, schema)
+    from stl_decomp_4j_spark.operators.stl_udf import pinned_grouped_apply
+
+    return pinned_grouped_apply(series, fn, schema)
 
 
 def q_stl_periodic(spark, sf_dir):
@@ -404,7 +409,9 @@ def q_stl_seasonal_smooth(spark, sf_dir):
             }
         )
 
-    return _fmt_ts(_events_gapfilled(spark, sf_dir).groupBy("url").applyInPandas(fn, schema))
+    from stl_decomp_4j_spark.operators.stl_udf import pinned_grouped_apply
+
+    return _fmt_ts(pinned_grouped_apply(_events_gapfilled(spark, sf_dir), fn, schema))
 
 
 def q_stl_exogenous(spark, sf_dir):
@@ -450,7 +457,9 @@ def q_stl_exogenous(spark, sf_dir):
             }
         )
 
-    return _fmt_ts(_events_gapfilled(spark, sf_dir).groupBy("url").applyInPandas(fn, schema))
+    from stl_decomp_4j_spark.operators.stl_udf import pinned_grouped_apply
+
+    return _fmt_ts(pinned_grouped_apply(_events_gapfilled(spark, sf_dir), fn, schema))
 
 
 def q_multimodal_features(spark, sf_dir):

@@ -22,14 +22,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, Window
-
-
-def _as_double(col) -> Column:
-    return F.transform(col, lambda x: x.cast("double"))
+from pyspark.sql import DataFrame, Window
 
 
 def _stack(series: pd.Series) -> np.ndarray:
+    # float32 arrays cross Arrow as-is; widening to float64 here is exact and
+    # batch-vectorized.  (A JVM-side F.transform(cast) would be an interpreted
+    # per-element lambda — dim x rows interpreted casts per scoring pass.)
     return np.stack(series.to_numpy()).astype(np.float64, copy=False)
 
 
@@ -92,7 +91,7 @@ def brute_force_topk(
     cos = cosine_vs_query_udf(query)
     scored = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.round(cos(_as_double(F.col(vec_col))), 6).alias("cos"),
+        F.round(cos(F.col(vec_col)), 6).alias("cos"),
     )
     return _ranked_topk(scored, k)
 
@@ -143,8 +142,8 @@ def ann_lsh_topk(
     qsig = _query_signature(qv, planes)
     df = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        _as_double(F.col(vec_col)).alias("v"),
-        bucket(_as_double(F.col(vec_col))).alias("bucket"),
+        F.col(vec_col).alias("v"),
+        bucket(F.col(vec_col)).alias("bucket"),
     )
     cands = df.filter(
         F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qsig).cast("long"))) <= multiprobe_bits
@@ -212,8 +211,8 @@ def ann_ivf_topk(
     assign = ivf_assign_udf(centroids)
     cands = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        _as_double(F.col(vec_col)).alias("v"),
-        assign(_as_double(F.col(vec_col))).alias("cluster"),
+        F.col(vec_col).alias("v"),
+        assign(F.col(vec_col)).alias("cluster"),
     ).filter(F.col("cluster").isin(probes))
     cos = cosine_vs_query_udf(query)
     scored = cands.select("vec_id", F.round(cos(F.col("v")), 6).alias("cos"))
@@ -241,8 +240,8 @@ def embedding_near_dup_pairs(
     bucket = lsh_bucket_udf(planes)
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        _as_double(F.col(vec_col)).alias("v"),
-        bucket(_as_double(F.col(vec_col))).alias("bucket"),
+        F.col(vec_col).alias("v"),
+        bucket(F.col(vec_col)).alias("bucket"),
     )
     probed = base.select(
         "vec_id",

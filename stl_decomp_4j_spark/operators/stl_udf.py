@@ -127,6 +127,30 @@ def make_sparse_stl_fn(period: int, granularity: str, fill_value: float, **confi
     return fn
 
 
+def pinned_grouped_apply(
+    df: DataFrame,
+    fn,
+    schema,
+    key: str = "url",
+    partitions: int | None = None,
+) -> DataFrame:
+    """groupBy(key).applyInPandas behind an explicit NUMBERED repartition pin.
+
+    EVERY CPU-heavy grouped-map stage must go through here: AQE coalesces
+    shuffle partitions by BYTES, and an STL stage carries a few MB of data but
+    hours of CPU — without the pin, AQE collapses it to one partition (the #1
+    scale trap, see CLAUDE.md).  repartition(n, key) compiles to
+    REPARTITION_BY_NUM, which AQE never coalesces, and the groupBy reuses
+    that hash partitioning so no extra shuffle is introduced."""
+    spark = df.sparkSession
+    # 16 tasks per core: group work is uniform (grid-length-bounded), so many
+    # small tasks let the scheduler absorb per-task jitter — 4 coarse waves
+    # quantize the stage tail to a whole wave on a noisy host, measured ~15%
+    # slower at 32 cores on the 8000-series workload.
+    partitions = partitions or spark.sparkContext.defaultParallelism * 16
+    return df.repartition(partitions, key).groupBy(key).applyInPandas(fn, schema)
+
+
 def stl_decompose_sparse_df(
     buckets: DataFrame,
     period: int,
@@ -137,15 +161,11 @@ def stl_decompose_sparse_df(
 ) -> DataFrame:
     """bucketize() output (url, ts, cnt) -> decomposed dense grid, with the
     gap-fill fused into the grouped-map kernel (see make_sparse_stl_fn)."""
-    spark = buckets.sparkSession
-    partitions = partitions or spark.sparkContext.defaultParallelism * 16
-    return (
-        buckets.repartition(partitions, "url")
-        .groupBy("url")
-        .applyInPandas(
-            make_sparse_stl_fn(period, granularity, fill_value, **config_kwargs),
-            STL_SCHEMA,
-        )
+    return pinned_grouped_apply(
+        buckets,
+        make_sparse_stl_fn(period, granularity, fill_value, **config_kwargs),
+        STL_SCHEMA,
+        partitions=partitions,
     )
 
 
@@ -154,18 +174,8 @@ def stl_decompose_df(series: DataFrame, period: int, partitions: int | None = No
 
     The decomposition is CPU-bound per group, so the stage's parallelism must
     not be byte-based: AQE happily coalesces a few-MB shuffle into one
-    partition, serializing hours of NumPy onto one core.  An explicit
-    repartition by url pins the partition count (user-specified repartitions
-    are exempt from AQE coalescing) and the groupBy reuses that hash
-    partitioning, so no extra shuffle is introduced."""
-    spark = series.sparkSession
-    # 16 tasks per core: group work is uniform (grid-length-bounded), so many
-    # small tasks let the scheduler absorb per-task jitter — 4 coarse waves
-    # quantize the stage tail to a whole wave on a noisy host, measured ~15%
-    # slower at 32 cores on the 8000-series workload.
-    partitions = partitions or spark.sparkContext.defaultParallelism * 16
-    return (
-        series.repartition(partitions, "url")
-        .groupBy("url")
-        .applyInPandas(make_stl_fn(period, **config_kwargs), STL_SCHEMA)
+    partition, serializing hours of NumPy onto one core.  See
+    pinned_grouped_apply."""
+    return pinned_grouped_apply(
+        series, make_stl_fn(period, **config_kwargs), STL_SCHEMA, partitions=partitions
     )
