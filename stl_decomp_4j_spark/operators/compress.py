@@ -1,8 +1,10 @@
 """Gorilla-compress tier rows into per-(url, tier) binary chunks, and the
 inverse for reads/verification.
 
-One chunk per url per column stream keeps chunks small (grid-length bounded)
-and lets a reader prune to the url+time-range it needs.
+Chunks are per url per column stream, split into time slabs of at most
+``chunk_points`` points, so a reader prunes to the url+time-range it needs
+on (url, t0, t1, column) metadata alone (prune_chunks / read_range) and
+never decodes outside the range.
 
 Scale shape: a grouped-map applyInPandas paid ~10 ms of per-group overhead
 (per-group pandas construction + sort) against ~0.25 ms of actual encoding
@@ -45,8 +47,9 @@ CHUNK_SCHEMA = StructType(
 )
 
 
-def _encode_block(pdf: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
-    """Encode every complete url run in an already (url, ts)-sorted block."""
+def _encode_block(pdf: pd.DataFrame, columns: list[str], chunk_points: int | None) -> pd.DataFrame:
+    """Encode every complete url run in an already (url, ts)-sorted block,
+    splitting runs longer than ``chunk_points`` into time-slab chunks."""
     urls = pdf["url"].to_numpy()
     ts_col = pdf["ts"]
     ts_ms = ts_col.astype("datetime64[ms]").astype("int64").to_numpy()
@@ -55,17 +58,29 @@ def _encode_block(pdf: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
     out: dict[str, list] = {f.name: [] for f in CHUNK_SCHEMA.fields}
     for i in range(len(bounds) - 1):
         a, b = int(bounds[i]), int(bounds[i + 1])
-        for col in columns:
-            out["url"].append(urls[a])
-            out["t0"].append(ts_col.iloc[a])
-            out["t1"].append(ts_col.iloc[b - 1])
-            out["n"].append(b - a)
-            out["column"].append(col)
-            out["chunk"].append(encode_series(ts_ms[a:b], vals[col][a:b]))
+        step = chunk_points or (b - a)
+        for s in range(a, b, step):
+            e = min(s + step, b)
+            for col in columns:
+                out["url"].append(urls[a])
+                out["t0"].append(ts_col.iloc[s])
+                out["t1"].append(ts_col.iloc[e - 1])
+                out["n"].append(e - s)
+                out["column"].append(col)
+                out["chunk"].append(encode_series(ts_ms[s:e], vals[col][s:e]))
     return pd.DataFrame(out)
 
 
-def compress_tier(tier: DataFrame, columns: list[str] | None = None, partitions: int | None = None) -> DataFrame:
+def compress_tier(
+    tier: DataFrame,
+    columns: list[str] | None = None,
+    partitions: int | None = None,
+    chunk_points: int | None = 4096,
+) -> DataFrame:
+    """``chunk_points`` bounds points per chunk (default 4096): bounded decode
+    memory, and time-slab chunk boundaries so a range read can prune WITHIN a
+    url's history — at 100x the 1h table spans years and a dashboard reads
+    days.  None = one chunk per url (unbounded)."""
     columns = columns or [c for c in tier.columns if c not in ("url", "ts")]
     spark = tier.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism * 4
@@ -86,9 +101,9 @@ def compress_tier(tier: DataFrame, columns: list[str] | None = None, partitions:
             pending = pdf.iloc[cut:]
             ready = pdf.iloc[:cut]
             if len(ready):
-                yield _encode_block(ready, columns)
+                yield _encode_block(ready, columns, chunk_points)
         if pending is not None and len(pending):
-            yield _encode_block(pending, columns)
+            yield _encode_block(pending, columns, chunk_points)
 
     return (
         tier.repartition(partitions, "url")
@@ -97,8 +112,12 @@ def compress_tier(tier: DataFrame, columns: list[str] | None = None, partitions:
     )
 
 
-def decompress_chunks(chunks: DataFrame) -> DataFrame:
-    """Inverse of compress_tier: back to long (url, ts, column, value) rows."""
+def decompress_chunks(chunks: DataFrame, decode_counter=None) -> DataFrame:
+    """Inverse of compress_tier: back to long (url, ts, column, value) rows.
+
+    ``decode_counter``: optional Spark accumulator incremented once per chunk
+    actually decoded — observability for the pruned read path (a test or a
+    production monitor can assert decode work == chunks in range)."""
     from pyspark.sql.types import DoubleType
 
     schema = StructType(
@@ -110,15 +129,68 @@ def decompress_chunks(chunks: DataFrame) -> DataFrame:
         ]
     )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in pdf.iterrows():
-            ts, vals = decode_series(bytes(row["chunk"]))
-            out.append(
-                pd.DataFrame(
-                    {"url": row["url"], "column": row["column"], "ts_ms": ts, "value": vals}
-                )
-            )
-        return pd.concat(out) if out else pd.DataFrame(columns=["url", "column", "ts_ms", "value"])
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, column, chunk in zip(pdf["url"], pdf["column"], pdf["chunk"]):
+                ts, vals = decode_series(bytes(chunk))
+                if decode_counter is not None:
+                    decode_counter.add(1)
+                out.append(pd.DataFrame({"url": url, "column": column, "ts_ms": ts, "value": vals}))
+            if out:
+                yield pd.concat(out)
 
-    return chunks.groupBy("url", "column").applyInPandas(fn, schema)
+    # mapInPandas (not grouped-map): decode needs no grouping — each chunk is
+    # self-contained — so no shuffle is introduced by the read path
+    return chunks.select("url", "column", "chunk").mapInPandas(fn, schema)
+
+
+def prune_chunks(
+    chunks: DataFrame,
+    urls: list[str] | None = None,
+    ts_min=None,
+    ts_max=None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Select only the chunks that can contain rows for the given url/time/
+    column predicate, using chunk METADATA only (no decode).  Reading from
+    parquet, every predicate lands in PushedFilters — at 100x the 1h Gorilla
+    table is the engine's largest, and a range read must not touch (let alone
+    decode) chunks outside the range.
+
+    A chunk [t0, t1] overlaps [ts_min, ts_max] iff t1 >= ts_min and
+    t0 <= ts_max."""
+    import pyspark.sql.functions as F
+
+    out = chunks
+    if urls is not None:
+        out = out.filter(F.col("url").isin(list(urls)))
+    if columns is not None:
+        out = out.filter(F.col("column").isin(list(columns)))
+    if ts_min is not None:
+        out = out.filter(F.col("t1") >= F.lit(ts_min))
+    if ts_max is not None:
+        out = out.filter(F.col("t0") <= F.lit(ts_max))
+    return out
+
+
+def read_range(
+    chunks: DataFrame,
+    urls: list[str] | None = None,
+    ts_min=None,
+    ts_max=None,
+    columns: list[str] | None = None,
+    decode_counter=None,
+) -> DataFrame:
+    """Pruned range read: metadata-prune chunks, decode only the survivors,
+    then trim rows of boundary chunks to the exact [ts_min, ts_max] range."""
+    import pyspark.sql.functions as F
+
+    rows = decompress_chunks(
+        prune_chunks(chunks, urls, ts_min, ts_max, columns), decode_counter=decode_counter
+    )
+    if ts_min is not None:
+        rows = rows.filter(F.timestamp_millis(F.col("ts_ms")) >= F.lit(ts_min))
+    if ts_max is not None:
+        rows = rows.filter(F.timestamp_millis(F.col("ts_ms")) <= F.lit(ts_max))
+    return rows

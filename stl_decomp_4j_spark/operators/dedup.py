@@ -151,12 +151,24 @@ def dedup_minhash_lsh(
     bands: int = 32,
     rows_per_band: int = 2,
     threshold: float = 0.6,
+    eager_cache: bool = False,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard >= threshold, candidates from
     minhash LSH.  Output: (id_a, id_b, jaccard) with jaccard rounded to 6dp.
 
     Miss probability per true pair at J: (1 - J^rows_per_band)^bands — with
     the defaults (2x32) at J=0.6 that is ~6e-7.
+
+    The per-doc shingle-hash-set table is persisted (it feeds three
+    consumers); pass ``cache_handle=[]`` to receive the persisted DataFrame
+    and ``unpersist()`` it after materializing the result — otherwise a
+    long-lived session accumulates one cached table per call until executor
+    storage evicts it.  ``eager_cache=True`` additionally materializes the
+    cache up front (count()) so sibling stages never race-compute it; the
+    default is lazy — within one action the first consumer stage populates
+    the cache and the extra blocking job is skipped (measurably faster at
+    bench scale).
     """
     from pyspark import StorageLevel
 
@@ -164,10 +176,9 @@ def dedup_minhash_lsh(
     # sides of the verify join); cache it once instead of re-shingling 3x.
     # persist (recoverable lineage, spills to disk) rather than
     # localCheckpoint — localCheckpoint blocks live on executor-local storage
-    # only, so an executor loss after it fails the job on a real cluster; the
-    # count() materializes eagerly so sibling stages never race-compute the
-    # cache.  At cluster scale this is the persisted shingle/signature table
-    # a production dedup pipeline keeps anyway — and it holds 8-byte hashes,
+    # only, so an executor loss after it fails the job on a real cluster.
+    # At cluster scale this is the persisted shingle/signature table a
+    # production dedup pipeline keeps anyway — and it holds 8-byte hashes,
     # not k-gram strings.
     sets_ = (
         shingle_hash_rows(docs, text_col, id_col, k)
@@ -175,7 +186,10 @@ def dedup_minhash_lsh(
         .agg(F.collect_set("h").alias("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sets_.count()
+    if cache_handle is not None:
+        cache_handle.append(sets_)
+    if eager_cache:
+        sets_.count()
     signed = minhash_signatures_from_hashes(
         sets_.select("doc_id", F.explode("sh").alias("h")), num_perm
     )

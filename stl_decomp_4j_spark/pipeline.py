@@ -128,8 +128,14 @@ def run_pipeline(
             n_points += materialized.count()
             if next_granularity:
                 tier_df = rollup_tier(materialized, next_granularity)
+        wall = time.time() - t0
+        # points/sec per bucket: a 100x operator spots a collapsed stage (the
+        # #1 failure mode: AQE coalescing a CPU-heavy stage to one partition)
+        # straight from the lineage table — throughput craters while status
+        # stays 'done'
         manifest.mark(
-            run_id, bucket, "done", points=n_points, wall_s=time.time() - t0,
+            run_id, bucket, "done", points=n_points, wall_s=wall,
+            points_per_sec=(n_points / wall if wall > 0 else 0.0),
             schema_version=TIER_SCHEMA_VERSION,
         )
         result.buckets_run.append(bucket)

@@ -82,6 +82,14 @@ def stream_gapfill_stateful(bucket_rows: DataFrame, step_seconds: int = 3600) ->
     last emitted grid slot), checkpointed by Spark; state size is O(urls),
     independent of history length.
 
+    Late-data semantics: a bucket row at or behind the last emitted grid slot
+    arrives after its slot was already finalized (emitted as observed or as a
+    0.0 gap) — it is DROPPED, mirroring append-mode watermark finalization
+    upstream; re-emitting would duplicate the slot downstream.  Misaligned
+    timestamps (not on the step grid) raise instead of silently colliding
+    into floor-divided slots — same loud-failure rule as the batch twin
+    (operators/stl_udf.py make_sparse_stl_fn).
+
     This is the engine's arbitrary-stateful-streaming surface; the built-in
     watermarked aggregation (stream_bucketize) stays the ingestion path and
     the numerically heavy STL stays in deterministic batch (ingest module
@@ -115,6 +123,14 @@ def stream_gapfill_stateful(bucket_rows: DataFrame, step_seconds: int = 3600) ->
         t1 = ts.max()
         if t1 < t0:  # stale replay entirely behind the state: emit nothing
             return
+        if ((ts - t0) % step_seconds).any():
+            # misaligned buckets would floor-divide into wrong/shared grid
+            # slots — fail loudly (mirror of the batch kernel's check)
+            raise ValueError(
+                f"bucket timestamps for url={url!r} are not aligned to the "
+                f"{step_seconds}s grid (granularity mismatch between the "
+                f"bucket stream and the gap-fill step)"
+            )
         grid = np.arange(t0, t1 + 1, step_seconds)
         vals = np.zeros(len(grid))
         keep = ts >= t0

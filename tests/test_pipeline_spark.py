@@ -124,12 +124,66 @@ def test_gorilla_chunks_roundtrip_via_spark(spark, pages):
         assert np.array_equal(got, want)
 
 
+def test_pruned_range_read_decodes_only_needed_chunks(spark, pages):
+    """read_range must decode exactly the chunks overlapping the url+time
+    predicate (counted via accumulator), and return the same rows as
+    filtering the uncompressed tier."""
+    from stl_decomp_4j_spark.operators.compress import prune_chunks, read_range
+
+    series = gapfill(bucketize(pages)).select("url", "ts", "value")
+    # small slabs so each url has many time chunks to prune between
+    chunks = compress_tier(series, columns=["value"], chunk_points=48)
+    chunks.cache().count()
+    bounds = series.agg(F.min("ts").alias("t0"), F.max("ts").alias("t1")).collect()[0]
+    url0 = series.select("url").orderBy("url").first()["url"]
+    import datetime as dt
+
+    ts_min = bounds["t0"] + dt.timedelta(days=4)
+    ts_max = bounds["t0"] + dt.timedelta(days=8)
+
+    pruned_n = prune_chunks(chunks, urls=[url0], ts_min=ts_min, ts_max=ts_max).count()
+    total_n = chunks.count()
+    assert 0 < pruned_n < total_n / 2  # both url and time pruning engaged
+
+    acc = spark.sparkContext.accumulator(0)
+    got = (
+        read_range(chunks, urls=[url0], ts_min=ts_min, ts_max=ts_max, decode_counter=acc)
+        .toPandas().sort_values("ts_ms").reset_index(drop=True)
+    )
+    assert acc.value == pruned_n  # decoded exactly the chunks in range
+
+    want = (
+        series.filter((F.col("url") == url0) & (F.col("ts") >= ts_min) & (F.col("ts") <= ts_max))
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert np.array_equal(got["value"].to_numpy(), want["value"].to_numpy())
+    assert np.array_equal(
+        got["ts_ms"].to_numpy(), want["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+    )
+    chunks.unpersist()
+
+
 def test_full_pipeline_with_resume(spark, pages, tmp_path):
     out = str(tmp_path / "rollup")
     cfg = PipelineConfig(n_buckets=4, compress=True)
     res1 = run_pipeline(spark, pages, out, cfg)
     assert len(res1.buckets_run) == 4
     assert res1.rows_per_tier["1h"] > res1.rows_per_tier["1d"] > res1.rows_per_tier["1w"] > 0
+
+    # lineage rows carry per-bucket throughput (points_per_sec) so a scale
+    # operator can spot a collapsed stage from the manifest alone
+    import json
+
+    done_rows = [
+        json.loads(l)
+        for l in (tmp_path / "rollup" / "manifest.jsonl").read_text().splitlines()
+        if json.loads(l)["status"] == "done"
+    ]
+    assert len(done_rows) == 4
+    for r in done_rows:
+        assert r["points_per_sec"] > 0
+        assert abs(r["points_per_sec"] - r["points"] / r["wall_s"]) < 1e-6
 
     # resume: everything done -> nothing re-runs, outputs unchanged
     before = spark.read.parquet(f"{out}/tier_1d").toPandas().sort_values(["url", "ts"]).reset_index(drop=True)

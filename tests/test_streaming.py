@@ -102,3 +102,34 @@ def test_stream_gapfill_stateful_across_restarts(spark, tmp_path):
     assert list(u1["value"]) == [5.0, 2.0, 0.0, 0.0, 7.0, 0.0, 0.0, 4.0, 1.0]
     u2 = got[got["url"] == "u2"].sort_values("ts")
     assert list(u2["value"]) == [1.0, 0.0, 3.0]
+
+
+def test_stream_gapfill_rejects_misaligned_buckets(spark, tmp_path):
+    """Bucket timestamps off the step grid must fail the query loudly (same
+    rule as the batch kernel) instead of floor-dividing counts into
+    wrong/shared slots."""
+    import datetime as dt
+
+    import pytest
+
+    from stl_decomp_4j_spark.streaming.ingest import BUCKET_SCHEMA, stream_gapfill_stateful
+
+    src = str(tmp_path / "bucket_rows")
+    out = str(tmp_path / "dense")
+    ckpt = str(tmp_path / "gf_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [("u1", t0, 5), ("u1", t0 + dt.timedelta(minutes=90), 2)]
+    spark.createDataFrame(rows, BUCKET_SCHEMA).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(BUCKET_SCHEMA).parquet(src)
+    q = (
+        stream_gapfill_stateful(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="not aligned"):
+        q.awaitTermination(180)

@@ -87,6 +87,18 @@ def test_minhash_lsh_matches_brute_force(spark, docs):
     assert len(want) >= 10  # the 5 exact + 5 near planted pairs
 
 
+def test_minhash_lsh_cache_handle_unpersists(spark, docs):
+    """cache_handle exposes the persisted shingle table so long-lived
+    sessions can release it after materializing the result."""
+    handle = []
+    got = dedup_minhash_lsh(docs, threshold=0.6, cache_handle=handle)
+    assert got.count() > 0
+    assert len(handle) == 1
+    assert handle[0].storageLevel.useMemory  # persisted
+    handle[0].unpersist(blocking=True)
+    assert not handle[0].storageLevel.useMemory  # released
+
+
 def test_simhash_properties(spark, docs):
     sh = simhash(docs).toPandas().set_index("doc_id")["simhash"]
     # identical docs -> identical simhash
