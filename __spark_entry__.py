@@ -290,6 +290,30 @@ def q_gorilla_roundtrip(spark, sf_dir):
     )
 
 
+def q_gorilla_range_read(spark, sf_dir):
+    """Pruned range read over the Gorilla store: compress with small time
+    slabs, then read back only one url's 5-day window — chunks outside the
+    (url, time) predicate are pruned on metadata and never decoded.  The
+    oracle is the plain-SQL filter of the gap-filled series; they match iff
+    pruning loses nothing and decode is lossless."""
+    import datetime as dt
+
+    from stl_decomp_4j_spark.operators.compress import compress_tier, read_range
+
+    series = _events_gapfilled(spark, sf_dir)
+    chunks = compress_tier(series.select("url", "ts", "value"), columns=["value"], chunk_points=168)
+    url0 = series.select("url").orderBy("url").first()["url"]
+    t0 = series.agg(F.min("ts").alias("t0")).collect()[0]["t0"]
+    ts_min = t0 + dt.timedelta(days=10)
+    ts_max = t0 + dt.timedelta(days=15)
+    out = read_range(chunks, urls=[url0], ts_min=ts_min, ts_max=ts_max)
+    return out.select(
+        "url",
+        F.date_format(F.timestamp_millis(F.col("ts_ms")), TS_FMT).alias("ts"),
+        "value",
+    )
+
+
 def q_stl_fit_stats(spark, sf_dir):
     import pandas as pd
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
@@ -515,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_seasonal_smooth": q_stl_seasonal_smooth,
         "stl_exogenous": q_stl_exogenous,
         "gorilla_roundtrip": q_gorilla_roundtrip,
+        "gorilla_range_read": q_gorilla_range_read,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -664,6 +689,15 @@ def oracle_sql() -> dict[str, str]:
             FROM scored QUALIFY rank <= 10
         """,
         "gorilla_roundtrip": gapfill,
+        "gorilla_range_read": f"""
+            WITH series AS ({gapfill_raw}),
+            sel AS (SELECT min(url) AS u, min(ts) AS t0 FROM series)
+            SELECT s.url, strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS ts, s.value
+            FROM series s, sel
+            WHERE s.url = sel.u
+              AND s.ts >= sel.t0 + INTERVAL 10 DAY
+              AND s.ts <= sel.t0 + INTERVAL 15 DAY
+        """,
         **_stl_fixture_oracles(),
         **_lsh_oracles(),
     }

@@ -24,6 +24,7 @@ HEADLINE = [
     "stl_tier_1d",
     "stl_tier_1d_fused",
     "gorilla_roundtrip",
+    "gorilla_range_read",
     "pricing_summary",
     "top_customers",
     "text_token_stats",

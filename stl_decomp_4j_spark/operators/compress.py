@@ -76,11 +76,22 @@ def compress_tier(
     columns: list[str] | None = None,
     partitions: int | None = None,
     chunk_points: int | None = 4096,
+    presorted: bool = False,
 ) -> DataFrame:
     """``chunk_points`` bounds points per chunk (default 4096): bounded decode
     memory, and time-slab chunk boundaries so a range read can prune WITHIN a
     url's history — at 100x the 1h table spans years and a dashboard reads
-    days.  None = one chunk per url (unbounded)."""
+    days.  None = one chunk per url (unbounded).
+
+    ``presorted=True`` skips the repartition+sort: valid when the input
+    already has each url's rows contiguous and time-ordered within every
+    scan partition — true for the materialized 1h tier, whose parquet files
+    are written straight from the url-hash-partitioned STL stage (whole
+    groups, grid order; hourly_tier is a pure projection).  This removes the
+    sink's only shuffle (the full tier's bytes) — the phase that scales
+    worst across executors.  A file split mid-url just yields one extra
+    chunk at the boundary; correctness never depends on the ordering (any
+    ordering round-trips), only the chunk count/compression ratio does."""
     columns = columns or [c for c in tier.columns if c not in ("url", "ts")]
     spark = tier.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism * 4
@@ -105,6 +116,8 @@ def compress_tier(
         if pending is not None and len(pending):
             yield _encode_block(pending, columns, chunk_points)
 
+    if presorted:
+        return tier.mapInPandas(fn, CHUNK_SCHEMA)
     return (
         tier.repartition(partitions, "url")
         .sortWithinPartitions("url", "ts")

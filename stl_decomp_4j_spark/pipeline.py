@@ -122,7 +122,14 @@ def run_pipeline(
             if cfg.compress:
                 comps = ["value", "trend", "seasonal", "residual"]
                 comp_cols = comps if tier_name == "1h" else [f"sum_{c}" for c in comps]
-                chunks = compress_tier(materialized.select("url", "ts", *comp_cols))
+                # the 1h tier's parquet comes straight from the url-hash-
+                # partitioned STL stage (urls contiguous, grid-ordered), so
+                # its compression needs no repartition+sort — the sink's only
+                # shuffle, over the engine's largest table, disappears
+                chunks = compress_tier(
+                    materialized.select("url", "ts", *comp_cols),
+                    presorted=(tier_name == "1h"),
+                )
                 chunks = chunks.withColumn("run_id", F.lit(run_id)).withColumn("bucket", F.lit(bucket))
                 write_table(chunks, f"{out_root}/gorilla_{tier_name}", partition_by=["bucket"], mode="overwrite_partitions")
             n_points += materialized.count()

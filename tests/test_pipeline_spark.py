@@ -124,6 +124,28 @@ def test_gorilla_chunks_roundtrip_via_spark(spark, pages):
         assert np.array_equal(got, want)
 
 
+def test_compress_presorted_matches_shuffled_path(spark, pages, tmp_path):
+    """presorted=True (no repartition+sort — valid on the materialized 1h
+    tier, which preserves the STL stage's url grouping and grid order) must
+    decode to exactly the same rows as the shuffling path."""
+    decomposed = stl_decompose_df(gapfill(bucketize(pages)), period=24, seasonal_width=35)
+    path = str(tmp_path / "t1h")
+    build_tiers(decomposed)["1h"].write.parquet(path)
+    mat = spark.read.parquet(path).select("url", "ts", "value", "trend")
+
+    def decode(chunks):
+        return (
+            decompress_chunks(chunks)
+            .toPandas()
+            .sort_values(["url", "column", "ts_ms"])
+            .reset_index(drop=True)
+        )
+
+    a = decode(compress_tier(mat))
+    b = decode(compress_tier(mat, presorted=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_pruned_range_read_decodes_only_needed_chunks(spark, pages):
     """read_range must decode exactly the chunks overlapping the url+time
     predicate (counted via accumulator), and return the same rows as

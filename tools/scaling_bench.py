@@ -38,13 +38,29 @@ from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_sparse_df
 cores = int(sys.argv[1]); pages_path = sys.argv[2]; out = sys.argv[3]
 mode = sys.argv[4] if len(sys.argv) > 4 else "threads"
 compress = len(sys.argv) > 5 and sys.argv[5] == "compress"
+cores_per_exec = int(sys.argv[6]) if len(sys.argv) > 6 else 4
 if mode == "executors":
-    # N separate executor JVMs x 4 cores each — cluster-faithful: shuffle,
-    # Arrow serving, parquet writes and GC all scale per-executor, as on a
-    # real cluster, instead of sharing one JVM across all cores.
-    n_exec = max(1, cores // 4)
-    master = f"local-cluster[{{n_exec}},4,9216]"
-    extra = {{"spark.executor.memory": "8g",
+    # Separate executor JVMs — cluster-faithful: shuffle, Arrow serving,
+    # parquet writes and GC all scale per-executor, as on a real cluster,
+    # instead of sharing one JVM across all cores.  BOTH pair sizes must be
+    # multi-executor (cores_per_exec < small-size cores): comparing one
+    # executor against four conflates "any inter-executor shuffle at all"
+    # with "4x the executors" — the north rule scales N -> 4N executors,
+    # where the N-executor side pays cross-JVM shuffle too.
+    n_exec = max(1, cores // cores_per_exec)
+    mem_mb = 4096 * cores_per_exec
+    master = f"local-cluster[{{n_exec}},{{cores_per_exec}},{{mem_mb}}]"
+    # Single-box stand-ins for per-node resources a real cluster has:
+    # spark.local.dir on tmpfs = each node's local SSD for shuffle files
+    # (here all JVMs would otherwise contend on ONE virtio disk); bigger
+    # shuffle file buffers + in-flight fetch window cut syscall/round-trip
+    # counts on the loopback fetch path.
+    shuffle_dir = f"{{out}}/shuffle_{{cores}}"
+    extra = {{"spark.executor.memory": f"{{mem_mb - 1024}}m",
+              "spark.local.dir": shuffle_dir,
+              "spark.shuffle.file.buffer": "1m",
+              "spark.reducer.maxSizeInFlight": "96m",
+              "spark.locality.wait": "0s",
               "spark.executorEnv.PYTHONPATH": {repo!r}}}
 else:
     master = f"local[{{cores}}]"
@@ -89,7 +105,10 @@ for name, nxt in (("1h", "day"), ("1d", "week"), ("1w", None)):
         from stl_decomp_4j_spark.operators.compress import compress_tier
         comps = ["value", "trend", "seasonal", "residual"]
         cols = comps if name == "1h" else [f"sum_{{c}}" for c in comps]
-        compress_tier(materialized.select("url", "ts", *cols)).write.mode(
+        # 1h tier parquet preserves the STL stage's url grouping/order, so
+        # its sink skips the repartition+sort (see compress_tier presorted)
+        compress_tier(materialized.select("url", "ts", *cols),
+                      presorted=(name == "1h")).write.mode(
             "overwrite").parquet(f"{{out}}/gorilla_{{name}}_{{cores}}")
         phases[f"gorilla_{{name}}"] = round(time.time() - tp, 1)
 wall = time.time() - t0
@@ -99,7 +118,8 @@ spark.stop()
 """
 
 
-def run(cores: int, pages_path: str, out: str, mode: str = "threads", compress: bool = False) -> dict:
+def run(cores: int, pages_path: str, out: str, mode: str = "threads", compress: bool = False,
+        cores_per_exec: int = 4) -> dict:
     script = WORKER.format(repo=str(REPO))
     # Pin the ENTIRE run (JVM + python workers, which inherit affinity) to
     # `cores` physical CPUs.  Without this, a local[8] run on a 32-core host
@@ -108,7 +128,8 @@ def run(cores: int, pages_path: str, out: str, mode: str = "threads", compress: 
     # cluster could match, and understating scaling efficiency.
     proc = subprocess.run(
         ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", script,
-         str(cores), pages_path, out, mode, "compress" if compress else "plain"],
+         str(cores), pages_path, out, mode, "compress" if compress else "plain",
+         str(cores_per_exec)],
         capture_output=True, text=True, timeout=3600,
         env={**os.environ, "SPARK_GRAFT_CPUS": str(cores)},
     )
@@ -128,7 +149,9 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--mode", choices=["threads", "executors"], default="threads",
-                    help="threads: one JVM local[N]; executors: local-cluster with N/4 executor JVMs x 4 cores")
+                    help="threads: one JVM local[N]; executors: local-cluster with separate executor JVMs")
+    ap.add_argument("--cores-per-executor", type=int, default=4,
+                    help="executors mode: cores per executor JVM; pick < --small so BOTH pair sizes are multi-executor")
     ap.add_argument("--compress", action="store_true",
                     help="include the Gorilla-compressed tier sink in the timed job")
     args = ap.parse_args()
@@ -154,14 +177,15 @@ spark.stop()
     # run — both sizes see the same environment distribution
     runs = {args.small: [], args.large: []}
     for _ in range(args.repeats):
-        runs[args.small].append(run(args.small, pages_path, out, args.mode, args.compress))
-        runs[args.large].append(run(args.large, pages_path, out, args.mode, args.compress))
+        runs[args.small].append(run(args.small, pages_path, out, args.mode, args.compress, args.cores_per_executor))
+        runs[args.large].append(run(args.large, pages_path, out, args.mode, args.compress, args.cores_per_executor))
     small = max(runs[args.small], key=lambda r: r["points_per_sec"])
     large = max(runs[args.large], key=lambda r: r["points_per_sec"])
     ratio = args.large // args.small
     eff = large["points_per_sec"] / (ratio * small["points_per_sec"])
     result = {
         "mode": args.mode,
+        "cores_per_executor": args.cores_per_executor if args.mode == "executors" else None,
         "compress": args.compress,
         "input": {"urls": args.urls, "days": args.days, "events_per_url": args.events_per_url},
         "small": small,
