@@ -61,6 +61,15 @@ if mode == "executors":
               "spark.shuffle.file.buffer": "1m",
               "spark.reducer.maxSizeInFlight": "96m",
               "spark.locality.wait": "0s",
+              # each executor JVM must size its GC/JIT/netty pools for ITS
+              # cores, not the host's: on a real cluster a 2-core executor
+              # container sees 2 cpus (cgroups); on one box every JVM sees
+              # them all and over-threads itself N_executors-fold
+              "spark.executor.extraJavaOptions":
+                  f"-XX:ActiveProcessorCount={{cores_per_exec}}",
+              # status REST API for shuffle-bytes accounting (UI is off in
+              # the default session to keep test startup light)
+              "spark.ui.enabled": "true",
               "spark.executorEnv.PYTHONPATH": {repo!r}}}
 else:
     master = f"local[{{cores}}]"
@@ -112,8 +121,24 @@ for name, nxt in (("1h", "day"), ("1d", "week"), ("1w", None)):
             "overwrite").parquet(f"{{out}}/gorilla_{{name}}_{{cores}}")
         phases[f"gorilla_{{name}}"] = round(time.time() - tp, 1)
 wall = time.time() - t0
-print(json.dumps({{"cores": cores, "points": points, "wall_s": wall,
-                   "points_per_sec": points / wall, "phases": phases}}))
+res = {{"cores": cores, "points": points, "wall_s": wall,
+        "points_per_sec": points / wall, "phases": phases}}
+try:
+    # shuffle-bytes accounting from the status REST API: quantifies how much
+    # data actually crosses executors (the single-box-vs-cluster residual)
+    import urllib.request
+    base = spark.sparkContext.uiWebUrl
+    apps = json.load(urllib.request.urlopen(f"{{base}}/api/v1/applications", timeout=10))
+    app_id = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(
+        f"{{base}}/api/v1/applications/{{app_id}}/stages?status=complete", timeout=10))
+    res["shuffle_read_mb"] = round(sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 1)
+    res["shuffle_write_mb"] = round(sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1)
+    res["executor_run_s"] = round(sum(s.get("executorRunTime", 0) for s in stages) / 1e3, 1)
+    res["input_mb"] = round(sum(s.get("inputBytes", 0) for s in stages) / 1e6, 1)
+except Exception as ex:  # UI disabled or port taken — accounting is optional
+    res["metrics_err"] = str(ex)[:200]
+print(json.dumps(res))
 spark.stop()
 """
 
