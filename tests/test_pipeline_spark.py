@@ -228,6 +228,18 @@ def test_full_pipeline_with_resume(spark, pages, tmp_path):
         before.drop(columns=["run_id"]), final.drop(columns=["run_id"])
     )
 
+    # read-side CLI over the store this pipeline just wrote: pruning engages
+    # on url+column, and the decoded rows equal the materialized tier's
+    from jobs.query_job import run_query
+
+    url0 = pages.select("url").orderBy("url").first()["url"]
+    q = run_query(spark, out, tier="1h", urls=[url0], columns=["trend"])
+    assert 0 < q["chunks_decoded"] < q["chunks_total"]
+    want_rows = (
+        spark.read.parquet(f"{out}/tier_1h").filter(F.col("url") == url0).count()
+    )
+    assert q["rows"] == want_rows > 0
+
 
 @pytest.mark.parametrize("granularity,period", [("day", 7), ("week", 4)])
 def test_fused_gapfill_other_granularities(spark, pages, granularity, period):
