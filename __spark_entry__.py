@@ -497,6 +497,20 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Aspect-preserving image resize plumbing (stubbed pixel resampling):
+    geometry + payload digest verified against an independent pure-Python
+    fixture (tools/make_multimodal_fixture.py)."""
+    from stl_decomp_4j_spark.operators.multimodal import attach_media, resize_images
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    rs = resize_images(attach_media(docs), max_side=64)
+    return rs.select(
+        "media_id", "width", "height", "out_width", "out_height",
+        F.md5("resized").alias("resized_md5"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -541,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "gorilla_range_read": q_gorilla_range_read,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
     }
 
 
@@ -742,6 +757,12 @@ def _lsh_oracles() -> dict[str, str]:
             SELECT media_id, kind, width, height, n_frames, round(f0, 6) AS f0
             FROM read_parquet('{fix}/multimodal.parquet')
             WHERE sum_chars = (SELECT sum(n_chars) FROM documents)
+        """,
+        "multimodal_resize": f"""
+            SELECT media_id, width, height, out_width, out_height, resized_md5
+            FROM read_parquet('{fix}/multimodal.parquet')
+            WHERE kind = 'image'
+              AND sum_chars = (SELECT sum(n_chars) FROM documents)
         """,
         "simhash_pairs": f"""
             WITH fx AS (

@@ -127,6 +127,65 @@ def extract_features(media: DataFrame, n_features: int = 8, fake: bool = True) -
     return media.mapInPandas(fn, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 64, fake: bool = True
+) -> DataFrame:
+    """Resize plumbing for image payloads: aspect-preserving fit into a
+    ``max_side`` square.  The geometry math (scale factor, rounded output
+    dims) is real; the pixel resampling is STUBBED like decode — the fake
+    path emits a deterministic digest-derived byte payload of exactly
+    out_width*out_height bytes (one fake gray byte per pixel), so batch
+    shape, memory profile and schema match a real resizer."""
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires pillow etc., not available in this container"
+        )
+
+    cols = [f.name for f in RESIZED_SCHEMA.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame(columns=cols)
+                continue
+            kinds = pdf["kind"].to_numpy()
+            w, h, _, _ = _fake_decode_batch(pdf["payload"].to_numpy(), kinds, 1)
+            scale = np.minimum(1.0, max_side / np.maximum(w, h).astype(np.float64))
+            ow = np.maximum(1, np.rint(w * scale)).astype(np.int32)
+            oh = np.maximum(1, np.rint(h * scale)).astype(np.int32)
+            digests = [hashlib.sha256(bytes(p)).digest() for p in pdf["payload"]]
+            resized = [
+                bytes(np.resize(np.frombuffer(d, dtype=np.uint8), int(a) * int(b)))
+                for d, a, b in zip(digests, ow, oh)
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": kinds,
+                    "width": w,
+                    "height": h,
+                    "out_width": ow,
+                    "out_height": oh,
+                    "resized": resized,
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(fn, RESIZED_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 8) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits (media_id, frame_no)
     rows for frames 0, n, 2n... of the (fake-)decoded frame count."""

@@ -168,6 +168,29 @@ def test_multimodal_plumbing(spark, docs):
     # deterministic: same payload -> same features
     f0 = feats.set_index("media_id")
     assert np.array_equal(np.array(f0.loc[0, "features"]), np.array(f0.loc[100000, "features"]))
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    from stl_decomp_4j_spark.operators.multimodal import frame_sample, resize_images
+
+    media = attach_media(docs)
+    rs = resize_images(media, max_side=64).toPandas()
+    assert len(rs) == media.filter("kind = 'image'").count() > 0
+    # aspect-preserving fit: longest side == 64 unless already smaller
+    longest = np.maximum(rs["out_width"], rs["out_height"])
+    small = np.maximum(rs["width"], rs["height"]) <= 64
+    assert (longest[~small] == 64).all()
+    assert (rs.loc[small, "out_width"] == rs.loc[small, "width"]).all()
+    # payload bytes match the declared output geometry (one byte per pixel)
+    assert (rs["resized"].apply(len) == rs["out_width"] * rs["out_height"]).all()
+    # aspect ratio preserved within rounding
+    ratio_in = rs["width"] / rs["height"]
+    ratio_out = rs["out_width"] / rs["out_height"]
+    assert np.allclose(ratio_in, ratio_out, rtol=0.1)
+
+    fs = frame_sample(media, every_n=8).toPandas()
+    assert len(fs) > 0
+    assert (fs["frame_no"] % 8 == 0).all()
     frames = frame_sample(media, every_n=8).toPandas()
     assert (frames["frame_no"] % 8 == 0).all()
     with pytest.raises(NotImplementedError):

@@ -44,7 +44,7 @@ def _mix64(x: int) -> int:
     return x
 
 
-def expected_row(doc_id: int, text: str) -> dict:
+def expected_row(doc_id: int, text: str, max_side: int = 64) -> dict:
     h = xxh64(int(doc_id).to_bytes(8, "little", signed=True))
     signed = h - (1 << 64) if h >= (1 << 63) else h
     kind = _KINDS[abs(signed) % 3]
@@ -55,9 +55,19 @@ def expected_row(doc_id: int, text: str) -> dict:
     n_frames = 1 if kind == "image" else 1 + digest[10] % 32
     seed = int.from_bytes(digest[:8], "big")
     f0 = (_mix64(seed) >> 11) * 2.0**-52 - 1.0
+    # independent recomputation of the resize geometry + fake-pixel payload
+    # (engine: aspect-preserving fit + digest bytes cycled to ow*oh; see
+    # operators/multimodal.py resize_images — np.rint is round-half-even)
+    scale = min(1.0, max_side / float(max(width, height)))
+    ow = max(1, int(np.rint(width * scale)))
+    oh = max(1, int(np.rint(height * scale)))
+    n_px = ow * oh
+    resized = (digest * (n_px // len(digest) + 1))[:n_px]
     return {
         "media_id": doc_id, "kind": kind, "width": width, "height": height,
         "n_frames": n_frames, "f0": f0,
+        "out_width": ow, "out_height": oh,
+        "resized_md5": hashlib.md5(resized).hexdigest(),
     }
 
 
