@@ -6,7 +6,7 @@
         --input /path/to/pages_parquet_or_iceberg_table \
         --output /path/to/rollup_root \
         [--period 24] [--seasonal-width 35] [--robust] \
-        [--buckets 64] [--resume] [--granularity hour]
+        [--buckets 64] [--resume] [--incremental] [--granularity hour]
 
 Reads the (url, warc_ts, html, text, lang) pages table, derives per-url
 crawl-activity series, gap-fills, STL-decomposes, writes 1h/1d/1w Gorilla-
@@ -29,6 +29,12 @@ def main() -> None:
     ap.add_argument("--robust", action="store_true")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="re-run only buckets whose max(warc_ts) advanced past their last "
+        "done manifest row (streaming-append -> periodic-batch refresh)",
+    )
     ap.add_argument("--granularity", default="hour", choices=["hour", "day", "week"])
     ap.add_argument("--no-compress", action="store_true")
     args = ap.parse_args()
@@ -50,7 +56,9 @@ def main() -> None:
         n_buckets=args.buckets,
         compress=not args.no_compress,
     )
-    result = run_pipeline(spark, pages, args.output, cfg, resume=args.resume)
+    result = run_pipeline(
+        spark, pages, args.output, cfg, resume=args.resume, incremental=args.incremental
+    )
     print(
         json.dumps(
             {

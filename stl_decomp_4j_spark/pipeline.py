@@ -71,22 +71,54 @@ def run_pipeline(
     out_root: str,
     cfg: PipelineConfig | None = None,
     resume: bool = False,
+    incremental: bool = False,
 ) -> PipelineResult:
     """Full pipeline with bucket-sliced checkpointing.
 
     Buckets are url-hash slices; each is decomposed and written independently
     so a failed run resumes from the first incomplete bucket.  Output
     partitions are (bucket, ...) so rewrites are idempotent.
+
+    ``resume=True`` skips buckets with a 'done' manifest row (crash
+    recovery).  ``incremental=True`` is the streaming-append → periodic-batch
+    mode: a bucket is skipped only if its data high-water mark
+    (``max(warc_ts)``, recorded in every done row as ``data_max_ts``) has not
+    advanced since its last completed run — freshly-appended data re-runs
+    exactly the buckets it touched and rewrites their partitions
+    idempotently.  The high-water mark detects appends (the ingest path);
+    backfills of strictly-older rows need a plain full run.
     """
     cfg = cfg or PipelineConfig()
     t_start = time.time()
     manifest = Manifest(out_root)
     run_id = new_run_id()
-    done = manifest.done_buckets(schema_version=TIER_SCHEMA_VERSION) if resume else set()
 
     result = PipelineResult(run_id=run_id)
     bucket_col = F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int")
     pages_b = pages.withColumn("bucket", bucket_col)
+
+    # per-bucket data high-water mark: one column-pruned scan, partial+final
+    # hash agg, n_buckets rows to the driver (bounded).  Recorded in every
+    # done row so a later incremental run can skip buckets whose data did not
+    # advance without touching their output.
+    data_max_ts = {
+        r["bucket"]: r["max_ts"]
+        for r in pages_b.groupBy("bucket")
+        .agg(F.max(F.unix_timestamp("warc_ts")).alias("max_ts"))
+        .collect()
+    }
+
+    if incremental:
+        prior = manifest.last_done(schema_version=TIER_SCHEMA_VERSION)
+        done = {
+            b
+            for b, row in prior.items()
+            if row.get("data_max_ts") is not None
+            and data_max_ts.get(b) is not None
+            and data_max_ts[b] <= row["data_max_ts"]
+        }
+    else:
+        done = manifest.done_buckets(schema_version=TIER_SCHEMA_VERSION) if resume else set()
 
     # invariant input: per-url text digest before the pipeline touches anything
     digests_before = (
@@ -144,6 +176,7 @@ def run_pipeline(
             run_id, bucket, "done", points=n_points, wall_s=wall,
             points_per_sec=(n_points / wall if wall > 0 else 0.0),
             schema_version=TIER_SCHEMA_VERSION,
+            data_max_ts=data_max_ts.get(bucket),
         )
         result.buckets_run.append(bucket)
 

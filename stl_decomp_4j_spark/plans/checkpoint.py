@@ -49,6 +49,19 @@ class Manifest:
         with open(self.path, "a") as f:
             f.write(json.dumps(row) + "\n")
 
+    def last_done(self, schema_version: int | None = None) -> dict[int, dict]:
+        """Latest 'done' row per bucket (schema-version-guarded like
+        done_buckets) — incremental runs compare each bucket's recorded
+        ``data_max_ts`` against the input to decide what re-runs."""
+        self.done_buckets(schema_version)  # reuse the version guard
+        rows: dict[int, dict] = {}
+        if self.path.exists():
+            for line in self.path.read_text().splitlines():
+                row = json.loads(line)
+                if row["status"] == "done":
+                    rows[row["bucket"]] = row
+        return rows
+
 
 def new_run_id() -> str:
     return uuid.uuid4().hex[:12]
