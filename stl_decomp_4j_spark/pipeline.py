@@ -110,20 +110,28 @@ def run_pipeline(
 
     if incremental:
         prior = manifest.last_done(schema_version=TIER_SCHEMA_VERSION)
-        done = {
-            b
-            for b, row in prior.items()
-            if row.get("data_max_ts") is not None
-            and data_max_ts.get(b) is not None
-            and data_max_ts[b] <= row["data_max_ts"]
-        }
+        done = set()
+        for b, row in prior.items():
+            if "data_max_ts" not in row:
+                continue  # legacy row with no recorded mark: re-run to learn it
+            rec, cur = row["data_max_ts"], data_max_ts.get(b)
+            # skip if the mark is unchanged — including a bucket that was
+            # recorded empty (mark None) and is still empty
+            if cur == rec or (cur is not None and rec is not None and cur <= rec):
+                done.add(b)
     else:
         done = manifest.done_buckets(schema_version=TIER_SCHEMA_VERSION) if resume else set()
 
-    # invariant input: per-url text digest before the pipeline touches anything
-    digests_before = (
-        pages_b.groupBy("url").agg(F.min(F.sha2("text", 256)).alias("digest_before"),
-                                   F.countDistinct(F.sha2("text", 256)).alias("nd"))
+    # invariant input: per-url text digest before the pipeline touches
+    # anything — scoped to the buckets this run will actually process, so an
+    # incremental refresh touching k of n buckets scans k/n of the table's
+    # text bytes (the check is two sha256 scans; unscoped it would dominate
+    # an incremental run at scale)
+    run_buckets = [b for b in range(cfg.n_buckets) if b not in done]
+    pages_checked = pages_b.filter(F.col("bucket").isin(run_buckets)) if run_buckets else None
+    digests_before = pages_checked and (
+        pages_checked.groupBy("url").agg(F.min(F.sha2("text", 256)).alias("digest_before"),
+                                         F.countDistinct(F.sha2("text", 256)).alias("nd"))
     )
 
     for bucket in range(cfg.n_buckets):
@@ -180,18 +188,19 @@ def run_pipeline(
         )
         result.buckets_run.append(bucket)
 
-    # verify the byte-identity invariant end-to-end: urls seen in the output
-    # still map to exactly one digest equal to the input digest
-    digests_after = (
-        pages_b.groupBy("url").agg(F.min(F.sha2("text", 256)).alias("digest_after"))
-    )
-    bad = (
-        digests_before.join(digests_after, "url")
-        .filter((F.col("nd") != 1) | (F.col("digest_before") != F.col("digest_after")))
-        .count()
-    )
-    if bad:
-        raise AssertionError(f"text byte-identity invariant violated for {bad} urls")
+    # verify the byte-identity invariant end-to-end: urls in the processed
+    # buckets still map to exactly one digest equal to the input digest
+    if pages_checked is not None:
+        digests_after = (
+            pages_checked.groupBy("url").agg(F.min(F.sha2("text", 256)).alias("digest_after"))
+        )
+        bad = (
+            digests_before.join(digests_after, "url")
+            .filter((F.col("nd") != 1) | (F.col("digest_before") != F.col("digest_after")))
+            .count()
+        )
+        if bad:
+            raise AssertionError(f"text byte-identity invariant violated for {bad} urls")
 
     for tier_name in ("1h", "1d", "1w"):
         result.rows_per_tier[tier_name] = spark.read.parquet(f"{out_root}/tier_{tier_name}").count()

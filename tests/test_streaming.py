@@ -133,3 +133,70 @@ def test_stream_gapfill_rejects_misaligned_buckets(spark, tmp_path):
     )
     with pytest.raises(Exception, match="not aligned"):
         q.awaitTermination(180)
+
+
+def test_stream_ingest_then_incremental_rollup(spark, tmp_path):
+    """End-to-end streaming-append -> periodic-batch story: a file stream
+    lands pages into the table the batch rollup reads; after new files
+    arrive, an incremental refresh re-runs only the url-hash buckets whose
+    data high-water mark advanced."""
+    from stl_decomp_4j_spark.pipeline import PipelineConfig, run_pipeline
+
+    incoming = str(tmp_path / "incoming")
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt_ingest")
+    out = str(tmp_path / "rollup")
+
+    pages = generate_pages(spark, n_urls=6, days=10, events_per_url=150)
+    pages.write.mode("overwrite").parquet(incoming)
+
+    def drain():
+        q = (
+            read_pages_stream(spark, incoming)
+            .writeStream.format("parquet")
+            .option("path", landing)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    landed = spark.read.parquet(landing)
+    assert landed.count() == pages.count()
+
+    cfg = PipelineConfig(n_buckets=4, compress=False)
+    res1 = run_pipeline(spark, landed, out, cfg)
+    assert sorted(res1.buckets_run) == [0, 1, 2, 3]
+
+    # new crawl files arrive for one url, 15 days past its history; the
+    # stream drains them into the landing table (exactly-once via checkpoint)
+    url0 = pages.select("url").orderBy("url").first()["url"]
+    target_bucket = (
+        pages.filter(F.col("url") == url0)
+        .select(F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int").alias("b"))
+        .first()["b"]
+    )
+    pages.filter(F.col("url") == url0).withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 15 DAYS")
+    ).write.mode("append").parquet(incoming)
+    drain()
+
+    res2 = run_pipeline(spark, spark.read.parquet(landing), out, cfg, incremental=True)
+    assert res2.buckets_run == [target_bucket]
+    assert sorted(res2.buckets_skipped) == sorted(set(range(4)) - {target_bucket})
+
+    # the refreshed tier covers the streamed-in extension
+    max_ts = (
+        spark.read.parquet(f"{out}/tier_1h")
+        .filter(F.col("bucket") == target_bucket)
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    want = (
+        spark.read.parquet(landing)
+        .filter(F.col("url") == url0)
+        .agg(F.date_trunc("hour", F.max("warc_ts")))
+        .first()[0]
+    )
+    assert max_ts == want
