@@ -511,6 +511,77 @@ def q_multimodal_resize(spark, sf_dir):
     )
 
 
+def _stl_tiers(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.rollup import build_tiers
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+    decomposed = stl_decompose_df(
+        _events_gapfilled(spark, sf_dir), period=24, seasonal_width=35, partitions=32
+    )
+    return build_tiers(decomposed)
+
+
+def _round_tier(out):
+    cols = ["url", "ts"] + [c for c in out.columns if c.startswith(("sum_", "min_", "max_"))] + ["cnt"]
+    return _fmt_ts(
+        out.select(*[F.round(c, 6).alias(c) if c.startswith(("sum_", "min_", "max_")) else c for c in cols])
+    )
+
+
+def q_tier_route_month(spark, sf_dir):
+    """Tier-routed continuous-aggregate read: a month request with a url
+    subset routes to the 1d tier (NOT 1w — ISO weeks straddle month
+    boundaries) and re-aggregates exactly.  The oracle aggregates the
+    reference fixture's raw hourly grid straight to months, so the
+    hash-match proves serve-from-tier == aggregate-from-raw."""
+    from stl_decomp_4j_spark.operators.serve import serve_rollup
+
+    out = serve_rollup(_stl_tiers(spark, sf_dir), "month", urls=["click", "error", "purchase"])
+    return _round_tier(out)
+
+
+def q_tier_route_week(spark, sf_dir):
+    """Tier-routed read with time-range pruning: a 3-week window routes to
+    the 1w tier; the ts bounds prune week buckets before re-aggregation
+    (PushedFilters when the tier is parquet-backed)."""
+    import datetime as dt
+
+    from stl_decomp_4j_spark.operators.serve import serve_rollup
+
+    wk0 = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .agg(F.date_trunc("week", F.min("ts")))
+        .first()[0]
+    )
+    out = serve_rollup(
+        _stl_tiers(spark, sf_dir),
+        "week",
+        ts_min=wk0 + dt.timedelta(days=7),
+        ts_max=wk0 + dt.timedelta(days=21),
+    )
+    return _round_tier(out)
+
+
+def q_stl_anomalies(spark, sf_dir):
+    """Residual anomaly detection: rows whose STL residual exceeds 2.5x the
+    url's residual stddev.  The oracle recomputes scale + z + filter in SQL
+    over the Java-reference fixture's residuals."""
+    from stl_decomp_4j_spark.operators.anomaly import residual_anomalies
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+    decomposed = stl_decompose_df(
+        _events_gapfilled(spark, sf_dir), period=24, seasonal_width=35, robust=False, partitions=32
+    )
+    out = residual_anomalies(decomposed, k=2.5, sigma="std")
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        "value",
+        F.round("residual", 6).alias("residual"),
+        F.round("z", 6).alias("z"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -556,6 +627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gorilla_range_read": q_gorilla_range_read,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
+        "tier_route_month": q_tier_route_month,
+        "tier_route_week": q_tier_route_week,
+        "stl_anomalies": q_stl_anomalies,
     }
 
 
@@ -861,11 +935,38 @@ def _stl_fixture_oracles() -> dict[str, str]:
                count(*) AS cnt
         FROM h GROUP BY url, date_trunc('day', ts)
     """
+    def _route(granularity: str, where: str) -> str:
+        aggs = ",\n               ".join(
+            f"round(sum({c}), 6) AS sum_{c}, round(min({c}), 6) AS min_{c}, "
+            f"round(max({c}), 6) AS max_{c}"
+            for c in ("value", "trend", "seasonal", "residual")
+        )
+        return f"""
+            WITH h AS (SELECT * FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc})
+            SELECT url, strftime(date_trunc('{granularity}', ts), '%Y-%m-%d %H:%M:%S') AS ts,
+               {aggs},
+               count(*) AS cnt
+            FROM h WHERE {where} GROUP BY url, date_trunc('{granularity}', ts)
+        """
+
     return {
         "stl_decompose_events": f"""
             SELECT url, {ts}, value, round(trend, 6) AS trend,
                    round(seasonal, 6) AS seasonal, round(residual, 6) AS residual
             FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc}
+        """,
+        "tier_route_month": _route("month", "url IN ('click', 'error', 'purchase')"),
+        "tier_route_week": _route(
+            "week",
+            "date_trunc('week', ts) >= (SELECT date_trunc('week', min(ts)) FROM events) + INTERVAL 7 DAY "
+            "AND date_trunc('week', ts) <= (SELECT date_trunc('week', min(ts)) FROM events) + INTERVAL 21 DAY",
+        ),
+        "stl_anomalies": f"""
+            WITH h AS (SELECT * FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc}),
+            s AS (SELECT url, stddev_samp(residual) AS sigma FROM h GROUP BY url)
+            SELECT h.url, strftime(h.ts, '%Y-%m-%d %H:%M:%S') AS ts, h.value,
+                   round(h.residual, 6) AS residual, round(h.residual / s.sigma, 6) AS z
+            FROM h JOIN s USING (url) WHERE abs(h.residual / s.sigma) > 2.5
         """,
         "stl_tier_1d": tier,
         "stl_tier_1d_fused": tier,

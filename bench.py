@@ -33,6 +33,8 @@ HEADLINE = [
     "simhash_pairs",
     "ann_topk",
     "embedding_near_dup_lsh",
+    "tier_route_month",
+    "stl_anomalies",
 ]
 
 

@@ -46,15 +46,38 @@ CHUNK_SCHEMA = StructType(
     ]
 )
 
+# calendar slabs a chunk can be aligned to (retention drops whole slabs)
+_SLAB_PERIOD = {"day": "D", "week": "W", "month": "M"}
 
-def _encode_block(pdf: pd.DataFrame, columns: list[str], chunk_points: int | None) -> pd.DataFrame:
+
+def _slab_ids(ts_col: pd.Series, slab: str) -> np.ndarray:
+    """Integer calendar-slab id per row (equal ids <=> same slab)."""
+    try:
+        period = _SLAB_PERIOD[slab]
+    except KeyError:
+        raise ValueError(f"slab must be one of {sorted(_SLAB_PERIOD)}, got {slab!r}") from None
+    return pd.PeriodIndex(ts_col, freq=period).asi8
+
+
+def _encode_block(
+    pdf: pd.DataFrame, columns: list[str], chunk_points: int | None, slab: str | None = None
+) -> pd.DataFrame:
     """Encode every complete url run in an already (url, ts)-sorted block,
-    splitting runs longer than ``chunk_points`` into time-slab chunks."""
+    splitting runs longer than ``chunk_points`` into time-slab chunks.
+
+    With ``slab`` set, runs are additionally cut at calendar-slab boundaries
+    so every chunk lies wholly inside one slab — the retention path
+    (operators/retention.py) then drops whole slab partitions on metadata
+    alone, never splitting or rewriting a chunk."""
     urls = pdf["url"].to_numpy()
     ts_col = pdf["ts"]
     ts_ms = ts_col.astype("datetime64[ms]").astype("int64").to_numpy()
     vals = {c: pdf[c].to_numpy(dtype=float) for c in columns}
-    bounds = np.flatnonzero(np.r_[True, urls[1:] != urls[:-1], True])
+    new_run = urls[1:] != urls[:-1]
+    if slab is not None:
+        sids = _slab_ids(ts_col, slab)
+        new_run = new_run | (sids[1:] != sids[:-1])
+    bounds = np.flatnonzero(np.r_[True, new_run, True])
     out: dict[str, list] = {f.name: [] for f in CHUNK_SCHEMA.fields}
     for i in range(len(bounds) - 1):
         a, b = int(bounds[i]), int(bounds[i + 1])
@@ -77,6 +100,7 @@ def compress_tier(
     partitions: int | None = None,
     chunk_points: int | None = 4096,
     presorted: bool = False,
+    slab: str | None = None,
 ) -> DataFrame:
     """``chunk_points`` bounds points per chunk (default 4096): bounded decode
     memory, and time-slab chunk boundaries so a range read can prune WITHIN a
@@ -91,7 +115,11 @@ def compress_tier(
     sink's only shuffle (the full tier's bytes) — the phase that scales
     worst across executors.  A file split mid-url just yields one extra
     chunk at the boundary; correctness never depends on the ordering (any
-    ordering round-trips), only the chunk count/compression ratio does."""
+    ordering round-trips), only the chunk count/compression ratio does.
+
+    ``slab`` ('day'/'week'/'month') additionally aligns chunks to calendar
+    slabs so retention can drop whole expired slabs without touching any
+    chunk's bytes (see _encode_block)."""
     columns = columns or [c for c in tier.columns if c not in ("url", "ts")]
     spark = tier.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism * 4
@@ -112,9 +140,9 @@ def compress_tier(
             pending = pdf.iloc[cut:]
             ready = pdf.iloc[:cut]
             if len(ready):
-                yield _encode_block(ready, columns, chunk_points)
+                yield _encode_block(ready, columns, chunk_points, slab)
         if pending is not None and len(pending):
-            yield _encode_block(pending, columns, chunk_points)
+            yield _encode_block(pending, columns, chunk_points, slab)
 
     if presorted:
         return tier.mapInPandas(fn, CHUNK_SCHEMA)

@@ -26,9 +26,10 @@ from .sources.catalog import write_table
 
 
 # bump when the persisted tier/gorilla table schema changes (v2 = compact 1h
-# tier); the manifest records it so --resume across an upgrade fails loudly
-# instead of appending mixed-schema partitions under one table root
-TIER_SCHEMA_VERSION = 2
+# tier; v3 = calendar-slab partition level for metadata-only retention); the
+# manifest records it so --resume across an upgrade fails loudly instead of
+# appending mixed-schema partitions under one table root
+TIER_SCHEMA_VERSION = 3
 
 
 @dataclass
@@ -39,6 +40,11 @@ class PipelineConfig:
     granularity: str = "hour"
     n_buckets: int = 8
     compress: bool = True
+    # calendar slab for the second partition level (bucket, slab): Gorilla
+    # chunks are slab-aligned and retention (operators/retention.py) drops
+    # whole expired slabs on metadata alone.  None = single-level bucket
+    # partitioning, no slab-bounded chunks, no retention support.
+    slab: str | None = "month"
 
 
 @dataclass
@@ -151,13 +157,25 @@ def run_pipeline(
 
         n_points = 0
         tier_df = hourly_tier(decomposed)
+        # second partition level for retention: slab = calendar slab of the
+        # row (tier) / of the slab-aligned chunk's start (gorilla)
+        part_cols = ["bucket"] + (["slab"] if cfg.slab else [])
+
+        def _with_slab(df, ts_col):
+            if not cfg.slab:
+                return df
+            return df.withColumn(
+                "slab", F.date_format(F.date_trunc(cfg.slab, ts_col), "yyyy-MM-dd")
+            )
+
         for tier_name, next_granularity in (("1h", "day"), ("1d", "week"), ("1w", None)):
             out = tier_df.withColumn("run_id", F.lit(run_id)).withColumn("bucket", F.lit(bucket))
-            write_table(out, f"{out_root}/tier_{tier_name}", partition_by=["bucket"], mode="overwrite_partitions")
+            write_table(_with_slab(out, "ts"), f"{out_root}/tier_{tier_name}",
+                        partition_by=part_cols, mode="overwrite_partitions")
             materialized = (
                 spark.read.parquet(f"{out_root}/tier_{tier_name}")
                 .filter(F.col("bucket") == bucket)
-                .drop("run_id", "bucket")
+                .drop("run_id", "bucket", "slab")
             )
             if cfg.compress:
                 comps = ["value", "trend", "seasonal", "residual"]
@@ -169,9 +187,11 @@ def run_pipeline(
                 chunks = compress_tier(
                     materialized.select("url", "ts", *comp_cols),
                     presorted=(tier_name == "1h"),
+                    slab=cfg.slab,
                 )
                 chunks = chunks.withColumn("run_id", F.lit(run_id)).withColumn("bucket", F.lit(bucket))
-                write_table(chunks, f"{out_root}/gorilla_{tier_name}", partition_by=["bucket"], mode="overwrite_partitions")
+                write_table(_with_slab(chunks, "t0"), f"{out_root}/gorilla_{tier_name}",
+                            partition_by=part_cols, mode="overwrite_partitions")
             n_points += materialized.count()
             if next_granularity:
                 tier_df = rollup_tier(materialized, next_granularity)
@@ -185,6 +205,10 @@ def run_pipeline(
             points_per_sec=(n_points / wall if wall > 0 else 0.0),
             schema_version=TIER_SCHEMA_VERSION,
             data_max_ts=data_max_ts.get(bucket),
+            # the store is self-describing: retention reads the slab
+            # granularity from here instead of trusting a caller flag (a
+            # mismatched flag would silently mis-compute slab ends)
+            slab_granularity=cfg.slab,
         )
         result.buckets_run.append(bucket)
 
