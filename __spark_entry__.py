@@ -314,6 +314,31 @@ def q_gorilla_range_read(spark, sf_dir):
     )
 
 
+def q_gorilla_compact(spark, sf_dir):
+    """Fragmented Gorilla store (encoded at chunk_points=24) compacted back
+    to maximally-filled chunks at chunk_points=96 (operators/compress.py
+    compact_chunks): per-url chunk count must equal the minimum possible
+    ceil(points/96), and the decoded points must survive fragment+merge
+    losslessly.  The oracle recomputes points, minimal chunk count and the
+    value checksum from the plain gap-filled series in SQL — they match iff
+    compaction packs every group to its floor and re-encodes bit-losslessly."""
+    from stl_decomp_4j_spark.operators.compress import (
+        compact_chunks,
+        compress_tier,
+        decompress_chunks,
+    )
+
+    series = _events_gapfilled(spark, sf_dir)
+    frag = compress_tier(series.select("url", "ts", "value"), columns=["value"], chunk_points=24)
+    merged = compact_chunks(frag, chunk_points=96)
+    stats = decompress_chunks(merged).groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    counts = merged.groupBy("url").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return stats.join(counts, "url").select("url", "n_points", "n_chunks", "sum_value")
+
+
 def q_stl_fit_stats(spark, sf_dir):
     import pandas as pd
     from pyspark.sql.types import DoubleType, StringType, StructField, StructType
@@ -625,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_exogenous": q_stl_exogenous,
         "gorilla_roundtrip": q_gorilla_roundtrip,
         "gorilla_range_read": q_gorilla_range_read,
+        "gorilla_compact": q_gorilla_compact,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "tier_route_month": q_tier_route_month,
@@ -786,6 +812,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.url = sel.u
               AND s.ts >= sel.t0 + INTERVAL 10 DAY
               AND s.ts <= sel.t0 + INTERVAL 15 DAY
+        """,
+        "gorilla_compact": f"""
+            WITH series AS ({gapfill_raw})
+            SELECT url, count(*) AS n_points,
+                   CAST(ceil(count(*) / 96.0) AS BIGINT) AS n_chunks,
+                   round(sum(value), 6) AS sum_value
+            FROM series GROUP BY url
         """,
         **_stl_fixture_oracles(),
         **_lsh_oracles(),

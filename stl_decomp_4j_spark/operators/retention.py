@@ -88,6 +88,35 @@ def expired_slab_dirs(
     return out
 
 
+def store_slab_granularity(out_root: str) -> str:
+    """The calendar-slab granularity a store was written with, read from its
+    own manifest (every done row records it).  Maintenance jobs (retention,
+    compaction) MUST use this instead of trusting a caller flag: a mismatched
+    flag would silently mis-compute slab boundaries — an under-retention /
+    cross-slab-chunk footgun."""
+    recorded = {
+        row.get("slab_granularity")
+        for row in Manifest(out_root).last_done().values()
+        if "slab_granularity" in row
+    }
+    if len(recorded) > 1:
+        raise RuntimeError(
+            f"store {out_root} has mixed slab granularities: {sorted(map(str, recorded))}"
+        )
+    if not recorded:
+        raise RuntimeError(
+            f"store {out_root} has no recorded slab granularity (pre-slab layout?); "
+            "slab-aware maintenance needs a (bucket, slab)-partitioned store"
+        )
+    store_slab = next(iter(recorded))
+    if store_slab is None:
+        raise RuntimeError(
+            f"store {out_root} was written with slab=None (no slab partition level); "
+            "slab-aware maintenance is not supported on it"
+        )
+    return store_slab
+
+
 def apply_retention(
     spark: SparkSession,
     out_root: str,
@@ -111,24 +140,7 @@ def apply_retention(
     if unknown:
         raise ValueError(f"unknown tiers in retention policy: {sorted(unknown)}")
     manifest = Manifest(out_root)
-    recorded = {
-        row.get("slab_granularity")
-        for row in manifest.last_done().values()
-        if "slab_granularity" in row
-    }
-    if len(recorded) > 1:
-        raise RuntimeError(f"store {out_root} has mixed slab granularities: {sorted(map(str, recorded))}")
-    store_slab = next(iter(recorded), None) if recorded else None
-    if store_slab is None:
-        if not recorded:
-            raise RuntimeError(
-                f"store {out_root} has no recorded slab granularity (pre-slab layout?); "
-                "retention needs a (bucket, slab)-partitioned store"
-            )
-        raise RuntimeError(
-            f"store {out_root} was written with slab=None (no slab partition level); "
-            "retention is not supported on it"
-        )
+    store_slab = store_slab_granularity(out_root)
     if slab is not None and slab != store_slab:
         raise ValueError(
             f"requested slab granularity {slab!r} does not match the store's {store_slab!r}"
