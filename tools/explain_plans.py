@@ -98,6 +98,16 @@ def main():
         )
     )
 
+    # round-3: compaction — fragmentation detection must be a metadata-only
+    # codegen hash agg (no Python), healthy chunks must pass through with no
+    # Python eval at all, and only the recode branch crosses Arrow, fed by a
+    # numbered (AQE-exempt) repartition
+    from stl_decomp_4j_spark.operators.compress import compact_chunks
+
+    sections["gorilla store compaction (metadata detect, pass-through + recode)"] = plan_of(
+        compact_chunks(stored, chunk_points=4096)
+    )
+
     # round-3 shapes: the three formerly-unpinned CPU-heavy driver queries
     # must each show REPARTITION_BY_NUM feeding FlatMapGroupsInPandas
     import __spark_entry__ as entry_mod
@@ -174,6 +184,19 @@ def main():
         ("chunk range read pushes url+time predicates to the parquet scan",
          "PushedFilters" in c_plan and "EqualTo(url," in c_plan
          and "GreaterThanOrEqual(t1," in c_plan and "LessThanOrEqual(t0," in c_plan)
+    )
+    k_plan = sections["gorilla store compaction (metadata detect, pass-through + recode)"]
+    checks.append(
+        ("compaction: single MapInPandas (healthy chunks never cross Arrow)",
+         k_plan.count(") MapInPandas") == 1 and "BatchEvalPython" not in k_plan)
+    )
+    checks.append(
+        ("compaction recode fed by numbered repartition (AQE-exempt)",
+         "REPARTITION_BY_NUM" in k_plan)
+    )
+    checks.append(
+        ("compaction fragmentation detect is a partial+final hash agg",
+         "partial_count" in k_plan or "partial_sum" in k_plan)
     )
     for qname in ("q_stl_fit_stats", "q_stl_seasonal_smooth", "q_stl_exogenous"):
         p = sections[f"driver {qname} (pinned grouped-map)"]
