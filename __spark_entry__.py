@@ -607,6 +607,54 @@ def q_stl_anomalies(spark, sf_dir):
     )
 
 
+def q_stl_forecast(spark, sf_dir):
+    """STL forecast: seasonal repeats its last observed cycle, trend extends
+    linearly from a two-point endpoint slope (48 hourly steps ahead, slope
+    window = one period).  The oracle recomputes the identical deterministic
+    rule in SQL over the Java-reference fixture's trend/seasonal columns."""
+    from stl_decomp_4j_spark.operators.forecast import stl_forecast
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+    decomposed = stl_decompose_df(
+        _events_gapfilled(spark, sf_dir), period=24, seasonal_width=35, robust=False, partitions=32
+    )
+    out = stl_forecast(decomposed, period=24, horizon=48, trend_window=24)
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        F.col("k").cast("long").alias("k"),
+        F.round("trend_fc", 6).alias("trend_fc"),
+        F.round("seasonal_fc", 6).alias("seasonal_fc"),
+        F.round("forecast", 6).alias("forecast"),
+    )
+
+
+def q_tier_audit(spark, sf_dir):
+    """Cross-tier consistency audit with an injected corruption: the stored
+    1d tier's sum_trend is shifted +10 for url='error', then audited against
+    re-aggregation of the 1h tier.  The audit must report exactly those
+    buckets (and nothing else — the float tolerance absorbs double-sum
+    merge-order noise).  Oracle recomputes the daily rollup + corruption +
+    diff in SQL over the Java-reference fixture."""
+    from stl_decomp_4j_spark.operators.audit import tier_consistency
+
+    tiers = _stl_tiers(spark, sf_dir)
+    stored = tiers["1d"].withColumn(
+        "sum_trend",
+        F.when(F.col("url") == "error", F.col("sum_trend") + F.lit(10.0)).otherwise(
+            F.col("sum_trend")
+        ),
+    )
+    out = tier_consistency(stored, tiers["1h"], "day", tol=1e-6)
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        "metric",
+        F.round("stored", 6).alias("stored"),
+        F.round("recomputed", 6).alias("recomputed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -656,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_route_month": q_tier_route_month,
         "tier_route_week": q_tier_route_week,
         "stl_anomalies": q_stl_anomalies,
+        "stl_forecast": q_stl_forecast,
+        "tier_audit": q_tier_audit,
     }
 
 
@@ -1000,6 +1050,50 @@ def _stl_fixture_oracles() -> dict[str, str]:
             SELECT h.url, strftime(h.ts, '%Y-%m-%d %H:%M:%S') AS ts, h.value,
                    round(h.residual, 6) AS residual, round(h.residual / s.sigma, 6) AS z
             FROM h JOIN s USING (url) WHERE abs(h.residual / s.sigma) > 2.5
+        """,
+        "stl_forecast": f"""
+            WITH h AS (SELECT * FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc}),
+            last AS (SELECT url, max(ts) AS t_last FROM h GROUP BY url),
+            tail AS (
+                SELECT h.url, l.t_last, date_diff('hour', h.ts, l.t_last) AS age,
+                       h.trend, h.seasonal
+                FROM h JOIN last l USING (url)
+                WHERE h.ts >= l.t_last - INTERVAL 24 HOUR
+            ),
+            state AS (
+                SELECT url, t_last,
+                       max(CASE WHEN age = 0 THEN trend END) AS trend_last,
+                       max(CASE WHEN age = 24 THEN trend END) AS trend_anchor
+                FROM tail GROUP BY url, t_last
+            ),
+            slopes AS (
+                SELECT url, t_last, trend_last,
+                       (trend_last - coalesce(trend_anchor, trend_last)) / 24.0 AS slope
+                FROM state
+            ),
+            grid AS (
+                SELECT url, t_last, trend_last, slope,
+                       unnest(generate_series(1, 48)) AS k
+                FROM slopes
+            ),
+            season AS (SELECT url, 23 - age AS phase, seasonal AS seasonal_fc FROM tail WHERE age < 24)
+            SELECT g.url,
+                   strftime(g.t_last + to_hours(CAST(g.k AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts,
+                   CAST(g.k AS BIGINT) AS k,
+                   round(g.trend_last + g.k * g.slope, 6) AS trend_fc,
+                   round(s.seasonal_fc, 6) AS seasonal_fc,
+                   round((g.trend_last + g.k * g.slope) + s.seasonal_fc, 6) AS forecast
+            FROM grid g JOIN season s ON g.url = s.url AND (g.k - 1) % 24 = s.phase
+        """,
+        "tier_audit": f"""
+            WITH h AS (SELECT * FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc}),
+            d AS (
+                SELECT url, date_trunc('day', ts) AS ts, sum(trend) AS sum_trend
+                FROM h GROUP BY 1, 2
+            )
+            SELECT url, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, 'sum_trend' AS metric,
+                   round(sum_trend + 10.0, 6) AS stored, round(sum_trend, 6) AS recomputed
+            FROM d WHERE url = 'error'
         """,
         "stl_tier_1d": tier,
         "stl_tier_1d_fused": tier,

@@ -123,6 +123,26 @@ def main():
         entry_mod.q_stl_exogenous(spark, sf)
     )
 
+    # round-3: forecast — per-url state must be broadcast onto the future
+    # grid (no big-table shuffle) and the whole operator must add zero
+    # Python beyond the upstream STL kernel; audit — recompute side is an
+    # ordinary partial+final rollup agg, the mismatch unpivot a codegen
+    # Generate (stack), and the bucket join post-aggregation
+    from stl_decomp_4j_spark.operators.audit import tier_consistency
+    from stl_decomp_4j_spark.operators.forecast import stl_forecast
+    from stl_decomp_4j_spark.operators.rollup import hourly_tier, rollup_tier
+
+    dec_table = "/tmp/explain_decomposed"
+    decomposed.write.mode("overwrite").parquet(dec_table)
+    dec_stored = spark.read.parquet(dec_table)
+    sections["stl forecast (broadcast per-url state onto generated grid)"] = plan_of(
+        stl_forecast(dec_stored, period=24, horizon=48, trend_window=24)
+    )
+    t1h_stored = hourly_tier(dec_stored)
+    sections["tier consistency audit (rollup recompute + stack unpivot)"] = plan_of(
+        tier_consistency(rollup_tier(t1h_stored, "day"), t1h_stored, "day")
+    )
+
     out = ["# PLANS — physical plan review of the north-rule pipeline\n"]
     out.append(
         "Generated by tools/explain_plans.py. Things to verify: ReadSchema "
@@ -197,6 +217,25 @@ def main():
     checks.append(
         ("compaction fragmentation detect is a partial+final hash agg",
          "partial_count" in k_plan or "partial_sum" in k_plan)
+    )
+    fc_plan = sections["stl forecast (broadcast per-url state onto generated grid)"]
+    checks.append(
+        ("forecast joins are broadcast (no big-table shuffle join)",
+         "BroadcastHashJoin" in fc_plan and "SortMergeJoin" not in fc_plan)
+    )
+    checks.append(
+        ("forecast adds no Python to the plan",
+         "EvalPython" not in fc_plan and "MapInPandas" not in fc_plan
+         and "FlatMapGroupsInPandas" not in fc_plan)
+    )
+    a_plan = sections["tier consistency audit (rollup recompute + stack unpivot)"]
+    checks.append(
+        ("audit recompute is a partial+final hash agg",
+         "partial_sum" in a_plan and "HashAggregate" in a_plan)
+    )
+    checks.append(
+        ("audit unpivot is codegen Generate (stack), no Python",
+         "Generate" in a_plan and "EvalPython" not in a_plan)
     )
     for qname in ("q_stl_fit_stats", "q_stl_seasonal_smooth", "q_stl_exogenous"):
         p = sections[f"driver {qname} (pinned grouped-map)"]
