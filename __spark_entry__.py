@@ -655,6 +655,64 @@ def q_tier_audit(spark, sf_dir):
     )
 
 
+def q_stl_strength(spark, sf_dir):
+    """Hyndman Fs/Ft decomposition-strength diagnostics per url.  The oracle
+    recomputes the variance-ratio formulas in SQL over the Java-reference
+    fixture's trend/seasonal/residual columns."""
+    from stl_decomp_4j_spark.operators.diagnostics import seasonal_strength
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+    decomposed = stl_decompose_df(
+        _events_gapfilled(spark, sf_dir), period=24, seasonal_width=35, robust=False, partitions=32
+    )
+    out = seasonal_strength(decomposed)
+    return out.select(
+        "url",
+        F.round("f_seasonal", 6).alias("f_seasonal"),
+        F.round("f_trend", 6).alias("f_trend"),
+        F.round("var_resid", 6).alias("var_resid"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def q_stl_changepoints(spark, sf_dir):
+    """Residual-CUSUM change-point candidate per url (Page's CUSUM, one row
+    per url: earliest max-|CUSUM| point + k*sqrt(n) decision band).  The
+    oracle recomputes moments + ordered cumsum + argmax in SQL over the
+    Java-reference fixture's residuals."""
+    from stl_decomp_4j_spark.operators.diagnostics import cusum_changepoints
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+    decomposed = stl_decompose_df(
+        _events_gapfilled(spark, sf_dir), period=24, seasonal_width=35, robust=False, partitions=32
+    )
+    out = cusum_changepoints(decomposed, k=3.0)
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        F.round("cusum", 6).alias("cusum"),
+        F.round("threshold", 6).alias("threshold"),
+        "exceeds",
+    )
+
+
+def q_crawl_outages(spark, sf_dir):
+    """Crawl-outage summary per url from the SPARSE bucketized series (no
+    dense grid materialized): gap count / total / max missing buckets and
+    the earliest longest gap's start.  Integer-exact; one row per url even
+    when gapless."""
+    from stl_decomp_4j_spark.operators.diagnostics import outage_summary
+
+    out = outage_summary(_events_hourly(spark, sf_dir), granularity="hour")
+    return _fmt_ts(out, col="worst_gap_start").select(
+        "url",
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        F.col("missing_total").cast("long").alias("missing_total"),
+        F.col("max_missing").cast("long").alias("max_missing"),
+        "worst_gap_start",
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -706,6 +764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_anomalies": q_stl_anomalies,
         "stl_forecast": q_stl_forecast,
         "tier_audit": q_tier_audit,
+        "stl_strength": q_stl_strength,
+        "stl_changepoints": q_stl_changepoints,
+        "crawl_outages": q_crawl_outages,
     }
 
 
@@ -869,6 +930,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ceil(count(*) / 96.0) AS BIGINT) AS n_chunks,
                    round(sum(value), 6) AS sum_value
             FROM series GROUP BY url
+        """,
+        "crawl_outages": """
+            WITH b AS (SELECT event_type AS url, date_trunc('hour', ts) AS ts
+                       FROM events GROUP BY 1, 2),
+            g AS (SELECT url, ts, lag(ts) OVER (PARTITION BY url ORDER BY ts) AS prev FROM b),
+            gaps AS (
+                SELECT url, prev + INTERVAL 1 HOUR AS gap_start,
+                       date_diff('hour', prev, ts) - 1 AS missing
+                FROM g WHERE prev IS NOT NULL AND date_diff('hour', prev, ts) > 1
+            ),
+            ranked AS (
+                SELECT url, gap_start,
+                       row_number() OVER (PARTITION BY url ORDER BY missing DESC, gap_start ASC) AS rk
+                FROM gaps
+            ),
+            agg AS (SELECT url, count(*) AS n_gaps, sum(missing) AS missing_total,
+                           max(missing) AS max_missing FROM gaps GROUP BY url)
+            SELECT u.url, CAST(coalesce(a.n_gaps, 0) AS BIGINT) AS n_gaps,
+                   CAST(coalesce(a.missing_total, 0) AS BIGINT) AS missing_total,
+                   CAST(coalesce(a.max_missing, 0) AS BIGINT) AS max_missing,
+                   strftime(w.gap_start, '%Y-%m-%d %H:%M:%S') AS worst_gap_start
+            FROM (SELECT DISTINCT event_type AS url FROM events) u
+            LEFT JOIN agg a USING (url)
+            LEFT JOIN (SELECT url, gap_start FROM ranked WHERE rk = 1) w USING (url)
         """,
         **_stl_fixture_oracles(),
         **_lsh_oracles(),
@@ -1050,6 +1135,33 @@ def _stl_fixture_oracles() -> dict[str, str]:
             SELECT h.url, strftime(h.ts, '%Y-%m-%d %H:%M:%S') AS ts, h.value,
                    round(h.residual, 6) AS residual, round(h.residual / s.sigma, 6) AS z
             FROM h JOIN s USING (url) WHERE abs(h.residual / s.sigma) > 2.5
+        """,
+        "stl_strength": f"""
+            WITH h AS (SELECT * FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc})
+            SELECT url,
+                   round(greatest(0.0, 1.0 - var_samp(residual) / var_samp(seasonal + residual)), 6) AS f_seasonal,
+                   round(greatest(0.0, 1.0 - var_samp(residual) / var_samp(trend + residual)), 6) AS f_trend,
+                   round(var_samp(residual), 6) AS var_resid,
+                   count(*) AS n
+            FROM h GROUP BY url
+        """,
+        "stl_changepoints": f"""
+            WITH h AS (SELECT * FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc}),
+            m AS (SELECT url, avg(residual) AS mu, stddev_samp(residual) AS sd, count(*) AS n
+                  FROM h GROUP BY url),
+            c AS (
+                SELECT h.url, h.ts,
+                       sum((h.residual - m.mu) / m.sd) OVER (
+                           PARTITION BY h.url ORDER BY h.ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum,
+                       3.0 * sqrt(m.n) AS threshold
+                FROM h JOIN m USING (url)
+            ),
+            r AS (SELECT *, row_number() OVER (PARTITION BY url ORDER BY abs(cusum) DESC, ts ASC) AS rk
+                  FROM c)
+            SELECT url, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, round(cusum, 6) AS cusum,
+                   round(threshold, 6) AS threshold, abs(cusum) > threshold AS exceeds
+            FROM r WHERE rk = 1
         """,
         "stl_forecast": f"""
             WITH h AS (SELECT * FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc}),

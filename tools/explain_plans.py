@@ -143,6 +143,25 @@ def main():
         tier_consistency(rollup_tier(t1h_stored, "day"), t1h_stored, "day")
     )
 
+    # round-3: diagnostics — strength is one hash agg; CUSUM broadcasts
+    # per-url moments (tiny) onto an ordered window cumsum; outage summary
+    # runs lag windows on the SPARSE buckets (no dense-grid Generate)
+    from stl_decomp_4j_spark.operators.diagnostics import (
+        cusum_changepoints,
+        outage_summary,
+        seasonal_strength,
+    )
+
+    sections["seasonal strength (single hash agg)"] = plan_of(
+        seasonal_strength(dec_stored)
+    )
+    sections["residual CUSUM change-points (broadcast moments + window cumsum)"] = plan_of(
+        cusum_changepoints(dec_stored, k=3.0)
+    )
+    sections["crawl outage summary (sparse lag windows, no dense grid)"] = plan_of(
+        outage_summary(buckets)
+    )
+
     out = ["# PLANS — physical plan review of the north-rule pipeline\n"]
     out.append(
         "Generated by tools/explain_plans.py. Things to verify: ReadSchema "
@@ -236,6 +255,24 @@ def main():
     checks.append(
         ("audit unpivot is codegen Generate (stack), no Python",
          "Generate" in a_plan and "EvalPython" not in a_plan)
+    )
+    st_plan = sections["seasonal strength (single hash agg)"]
+    checks.append(
+        ("strength is one partial+final hash agg, no Python, no join",
+         "partial_var_samp" in st_plan and "EvalPython" not in st_plan
+         and "Join" not in st_plan)
+    )
+    cu_plan = sections["residual CUSUM change-points (broadcast moments + window cumsum)"]
+    checks.append(
+        ("cusum moments join is broadcast; window runs codegen-side",
+         "BroadcastHashJoin" in cu_plan and "SortMergeJoin" not in cu_plan
+         and "Window" in cu_plan and "EvalPython" not in cu_plan)
+    )
+    og_plan = sections["crawl outage summary (sparse lag windows, no dense grid)"]
+    checks.append(
+        ("outage summary never materializes the dense grid (no sequence explode)",
+         "Generate" not in og_plan and "sequence" not in og_plan
+         and "EvalPython" not in og_plan)
     )
     for qname in ("q_stl_fit_stats", "q_stl_seasonal_smooth", "q_stl_exogenous"):
         p = sections[f"driver {qname} (pinned grouped-map)"]
