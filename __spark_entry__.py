@@ -176,6 +176,27 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup_minhash_lsh(spark.read.parquet(_t(sf_dir, "documents")), threshold=0.5)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Transitive near-dup groups: minhash-LSH pairs -> alternating
+    large-star/small-star connected components -> one row per document with
+    its component label (component minimum doc_id) and whether it is the
+    keep-one canonical.  The oracle recomputes the exact-Jaccard pair set
+    and its transitive closure with a recursive CTE."""
+    from stl_decomp_4j_spark.operators.components import connected_components
+    from stl_decomp_4j_spark.operators.dedup import dedup_minhash_lsh
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    pairs = dedup_minhash_lsh(docs, threshold=0.5)
+    comp = connected_components(pairs, "id_a", "id_b")
+    out = docs.select("doc_id").join(comp, F.col("doc_id") == F.col("node"), "left")
+    label = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        label.alias("component"),
+        (label == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 def q_embedding_near_dup_bf(spark, sf_dir):
     from stl_decomp_4j_spark.operators.similarity import pair_cosine_udf
 
@@ -740,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_word_set": q_dedup_word_set,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "embedding_near_dup_bf": q_embedding_near_dup_bf,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
@@ -884,6 +906,24 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract_all(lower(trim(text)), '\\S+'))), ' ')) AS sig, "
             "min(doc_id) AS keep_id, count(*) AS n_docs FROM documents GROUP BY 1 HAVING count(*) > 1"
         ),
+        "dedup_components": f"""
+            WITH RECURSIVE sh AS ({shingles}),
+            p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+            ),
+            e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.v, r.label FROM reach r JOIN e ON e.u = r.node
+            )
+            SELECT node AS doc_id, min(label) AS component,
+                   min(label) = node AS is_canonical
+            FROM reach GROUP BY node
+        """,
         "dedup_minhash_lsh": f"""
             WITH sh AS ({shingles})
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -152,6 +152,18 @@ def main():
         seasonal_strength,
     )
 
+    # round-3: one large-star/small-star round of connected components —
+    # pure codegen aggregates + joins (the iterative driver loop only
+    # re-applies this same plan shape to a localCheckpoint'd edge set)
+    from stl_decomp_4j_spark.operators.components import _large_star, _small_star
+
+    edges = spark.range(0, 1000).select(
+        (F.col("id") % 97).alias("u"), (F.col("id") % 89 + 1).alias("v")
+    )
+    sections["connected-components star round (codegen agg+join)"] = plan_of(
+        _small_star(_large_star(edges))
+    )
+
     sections["seasonal strength (single hash agg)"] = plan_of(
         seasonal_strength(dec_stored)
     )
@@ -255,6 +267,11 @@ def main():
     checks.append(
         ("audit unpivot is codegen Generate (stack), no Python",
          "Generate" in a_plan and "EvalPython" not in a_plan)
+    )
+    cc_plan = sections["connected-components star round (codegen agg+join)"]
+    checks.append(
+        ("components star round is codegen agg+join, no Python",
+         "HashAggregate" in cc_plan and "EvalPython" not in cc_plan)
     )
     st_plan = sections["seasonal strength (single hash agg)"]
     checks.append(
