@@ -53,6 +53,66 @@ def q_gapfill_hourly(spark, sf_dir):
     return _fmt_ts(_events_gapfilled(spark, sf_dir)).select("url", "ts", "value")
 
 
+def q_gapfill_linear(spark, sf_dir):
+    """Linear-interpolation gap-fill (TimescaleDB interpolate()): missing
+    hours get the line between the neighboring observed buckets; one window
+    exchange, no self-join.  The oracle rebuilds the grid and both
+    ignore-nulls carries in DuckDB."""
+    from stl_decomp_4j_spark.operators.gapfill import gapfill_linear
+
+    out = gapfill_linear(_events_hourly(spark, sf_dir), granularity="hour")
+    return _fmt_ts(out).select(
+        "url", "ts", F.round("value", 6).alias("value"), "observed"
+    )
+
+
+def q_asof_serving(spark, sf_dir):
+    """As-of join (kdb aj / DuckDB ASOF): per url, the latest hourly bucket
+    at or before each daily 00:30 probe, NULLed when staler than 2h.  Shape:
+    union + one per-url ordered window — zero joins (a range join would go
+    nested-loop).  The oracle is DuckDB's native ASOF LEFT JOIN."""
+    from stl_decomp_4j_spark.operators.readside import asof_join
+
+    data = _events_hourly(spark, sf_dir)
+    ev = spark.read.parquet(_t(sf_dir, "events"))
+    bounds = ev.groupBy(F.col("event_type").alias("url")).agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 1 DAY")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    probes = bounds.select(
+        "url",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("ts"),
+    ).select("url", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"))
+    out = asof_join(probes, data, tolerance_s=7200)
+    return out.select(
+        "url",
+        F.date_format("ts", TS_FMT).alias("ts"),
+        "cnt",
+        F.date_format("matched_ts", TS_FMT).alias("matched_ts"),
+        "staleness_s",
+    )
+
+
+def q_twa_daily(spark, sf_dir):
+    """Per-(url, day) time-weighted average of the irregular event series:
+    each observation LOCF-weighted by how long it was latest — the correct
+    downsample for uneven sampling (count-weighted avg over-weights bursts).
+    The oracle recomputes dedup + lead-segment weighting in SQL."""
+    from stl_decomp_4j_spark.operators.readside import time_weighted_avg
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        F.col("event_type").alias("url"), "ts", "value"
+    )
+    out = time_weighted_avg(ev, granularity="day")
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        F.round("twa", 6).alias("twa"),
+        "n_points",
+        F.round("span_s", 6).alias("span_s"),
+    )
+
+
 def q_rollup_daily(spark, sf_dir):
     events = spark.read.parquet(_t(sf_dir, "events"))
     return _fmt_ts(
@@ -749,6 +809,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bucketize_hourly": q_bucketize_hourly,
         "gapfill_hourly": q_gapfill_hourly,
+        "gapfill_linear": q_gapfill_linear,
+        "asof_serving": q_asof_serving,
+        "twa_daily": q_twa_daily,
         "rollup_daily": q_rollup_daily,
         "rollup_weekly": q_rollup_weekly,
         "sma_24h": q_sma_24h,
@@ -821,9 +884,72 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS words FROM documents)
         WHERE len(words) >= 3
     """
+    gapfill_linear = f"""
+        WITH hourly AS ({hourly_raw}),
+        bounds AS (SELECT url, min(ts) AS t0, max(ts) AS t1 FROM hourly GROUP BY url),
+        grid AS (SELECT url, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts FROM bounds),
+        s AS (SELECT g.url, g.ts, CAST(h.cnt AS DOUBLE) AS obs
+              FROM grid g LEFT JOIN hourly h ON g.url = h.url AND g.ts = h.ts),
+        c AS (SELECT url, ts, obs,
+              last_value(obs IGNORE NULLS) OVER
+                (PARTITION BY url ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+              last_value(CASE WHEN obs IS NOT NULL THEN ts END IGNORE NULLS) OVER
+                (PARTITION BY url ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+              first_value(obs IGNORE NULLS) OVER
+                (PARTITION BY url ORDER BY ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+              first_value(CASE WHEN obs IS NOT NULL THEN ts END IGNORE NULLS) OVER
+                (PARTITION BY url ORDER BY ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+              FROM s)
+        SELECT url, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               round(coalesce(obs,
+                     pv + (nv - pv) * ((epoch(ts) - epoch(pt)) / (epoch(nt) - epoch(pt)))
+               ), 6) AS value,
+               obs IS NOT NULL AS observed
+        FROM c
+    """
+    asof_serving = f"""
+        WITH hourly AS ({hourly_raw}),
+        r AS (SELECT event_type AS url,
+                     date_trunc('day', min(ts)) + INTERVAL 1 DAY AS d0,
+                     date_trunc('day', max(ts)) AS d1
+              FROM events GROUP BY 1),
+        p AS (SELECT url, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) + INTERVAL 30 MINUTE AS ts
+              FROM r),
+        j AS (SELECT p.url, p.ts, h.ts AS mt, h.cnt
+              FROM p ASOF LEFT JOIN hourly h ON p.url = h.url AND p.ts >= h.ts)
+        SELECT url, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               CASE WHEN epoch(ts) - epoch(mt) <= 7200 THEN cnt END AS cnt,
+               CASE WHEN epoch(ts) - epoch(mt) <= 7200
+                    THEN strftime(mt, '%Y-%m-%d %H:%M:%S') END AS matched_ts,
+               CASE WHEN epoch(ts) - epoch(mt) <= 7200
+                    THEN CAST(epoch(ts) - epoch(mt) AS BIGINT) END AS staleness_s
+        FROM j
+    """
+    twa_daily = """
+        WITH d AS (SELECT event_type AS url, ts AS t, avg(value) AS v, count(*) AS n
+                   FROM events GROUP BY 1, 2),
+        s AS (SELECT url, date_trunc('day', t) AS b, t, v, n,
+                     epoch(lead(t) OVER (PARTITION BY url, date_trunc('day', t) ORDER BY t))
+                       - epoch(t) AS dt
+              FROM d)
+        SELECT url, strftime(b, '%Y-%m-%d %H:%M:%S') AS ts,
+               round(CASE WHEN epoch(max(t)) - epoch(min(t)) > 0
+                          THEN sum(v * dt) / (epoch(max(t)) - epoch(min(t)))
+                          ELSE min_by(v, t) END, 6) AS twa,
+               CAST(sum(n) AS BIGINT) AS n_points,
+               round(epoch(max(t)) - epoch(min(t)), 6) AS span_s
+        FROM s GROUP BY url, b
+    """
     return {
         "bucketize_hourly": hourly,
         "gapfill_hourly": gapfill,
+        "gapfill_linear": gapfill_linear,
+        "asof_serving": asof_serving,
+        "twa_daily": twa_daily,
         "rollup_daily": (
             "SELECT event_type AS url, strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ts, "
             "round(sum(value), 6) AS sum_value, min(value) AS min_value, max(value) AS max_value, "

@@ -15,7 +15,7 @@ between two url-partitioned children; AQE handles post-shuffle coalescing.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 _INTERVALS = {"hour": "interval 1 hour", "day": "interval 1 day", "week": "interval 7 days"}
 
@@ -46,4 +46,69 @@ def gapfill(
         "url",
         "ts",
         F.coalesce(F.col("cnt").cast("double"), F.lit(float(fill_value))).alias("value"),
+    )
+
+
+def gapfill_linear(
+    buckets: DataFrame,
+    granularity: str = "hour",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Dense (url, ts, value) grid with LINEAR interpolation across gaps.
+
+    zero-fill (``gapfill``) is right for crawl COUNTS ("no crawls observed
+    that hour" is a real zero); for sampled gauges (a tier's trend column, a
+    sensor level) a missing hour means "not sampled" and the standard fill is
+    the line between the neighboring observations (TimescaleDB's
+    ``interpolate()``).  Grid rows before the first / after the last
+    observation of a url don't exist (the grid spans the url's own observed
+    [min, max]), so every gap has both endpoints.
+
+    Plan shape: the same bounded sequence+explode grid as ``gapfill`` (the
+    repartition pin protects the fan-out from AQE byte-based coalescing),
+    then ONE window exchange: the backward last-observation carry and the
+    forward next-observation carry share (partitionBy url, orderBy ts), so
+    Catalyst evaluates both frames in a single sort — no second shuffle, no
+    self-join.  Interpolation itself is codegen arithmetic.
+    """
+    interval = _INTERVALS[granularity]
+    spark = buckets.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism * 4
+    bounds = buckets.groupBy("url").agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    grid = bounds.repartition(partitions, "url").select(
+        "url", F.explode(F.sequence("t0", "t1", F.expr(interval))).alias("ts")
+    )
+    sparse = grid.join(buckets, ["url", "ts"], "left").select(
+        "url", "ts", F.col("cnt").cast("double").alias("_obs")
+    )
+    back = (
+        Window.partitionBy("url")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("url")
+        .orderBy("ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("_obs").isNotNull(), F.col("ts"))
+    carried = sparse.select(
+        "url",
+        "ts",
+        "_obs",
+        F.last("_obs", ignorenulls=True).over(back).alias("_pv"),
+        F.last(obs_ts, ignorenulls=True).over(back).alias("_pt"),
+        F.first("_obs", ignorenulls=True).over(fwd).alias("_nv"),
+        F.first(obs_ts, ignorenulls=True).over(fwd).alias("_nt"),
+    )
+    frac = (
+        (F.unix_timestamp("ts") - F.unix_timestamp("_pt")).cast("double")
+        / (F.unix_timestamp("_nt") - F.unix_timestamp("_pt")).cast("double")
+    )
+    interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
+    return carried.select(
+        "url",
+        "ts",
+        F.coalesce("_obs", interp).alias("value"),
+        F.col("_obs").isNotNull().alias("observed"),
     )

@@ -1,0 +1,169 @@
+"""Read-side serving operators: as-of join, time-weighted average,
+linear-interpolation gap-fill — hand-computed expectations."""
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_result(spark):
+    from stl_decomp_4j_spark.operators.readside import asof_join
+
+    data = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00"), 10.0),
+            ("a", _ts("2024-01-01 02:00:00"), 20.0),
+            ("a", _ts("2024-01-01 05:00:00"), None),  # real NULL measurement
+            ("b", _ts("2024-01-01 03:00:00"), 7.0),
+        ],
+        "url string, ts timestamp, v double",
+    )
+    probes = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 01:30:00")),  # between -> 00:00 row
+            ("a", _ts("2024-01-01 02:00:00")),  # exact tie -> inclusive
+            ("a", _ts("2024-01-01 06:00:00")),  # after the NULL-v row
+            ("b", _ts("2024-01-01 02:00:00")),  # before any data -> unmatched
+            ("b", _ts("2024-01-01 03:10:00")),
+        ],
+        "url string, ts timestamp",
+    )
+    rows = asof_join(probes, data).collect()
+    return {(r["url"], r["ts"]): r for r in rows}
+
+
+def test_asof_between_and_inclusive(asof_result):
+    r = asof_result[("a", _ts("2024-01-01 01:30:00"))]
+    assert r["v"] == 10.0 and r["matched_ts"] == _ts("2024-01-01 00:00:00")
+    assert r["staleness_s"] == 5400
+    tie = asof_result[("a", _ts("2024-01-01 02:00:00"))]
+    assert tie["v"] == 20.0 and tie["staleness_s"] == 0
+
+
+def test_asof_null_value_row_is_row_atomic(asof_result):
+    # the 05:00 data row has v=NULL; the probe after it must match THAT row
+    # (NULL v, staleness from 05:00) — not leak the older 02:00 value
+    r = asof_result[("a", _ts("2024-01-01 06:00:00"))]
+    assert r["v"] is None
+    assert r["matched_ts"] == _ts("2024-01-01 05:00:00")
+    assert r["staleness_s"] == 3600
+
+
+def test_asof_unmatched_probe_kept_with_nulls(asof_result):
+    r = asof_result[("b", _ts("2024-01-01 02:00:00"))]
+    assert r["v"] is None and r["matched_ts"] is None and r["staleness_s"] is None
+    assert asof_result[("b", _ts("2024-01-01 03:10:00"))]["v"] == 7.0
+
+
+def test_asof_tolerance_nulls_stale_match(spark):
+    from stl_decomp_4j_spark.operators.readside import asof_join
+
+    data = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:00:00"), 1.0)], "url string, ts timestamp, v double"
+    )
+    probes = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:30:00")), ("a", _ts("2024-01-02 00:00:00"))],
+        "url string, ts timestamp",
+    )
+    rows = {r["ts"]: r for r in asof_join(probes, data, tolerance_s=3600).collect()}
+    assert rows[_ts("2024-01-01 00:30:00")]["v"] == 1.0
+    stale = rows[_ts("2024-01-02 00:00:00")]
+    assert stale["v"] is None and stale["matched_ts"] is None
+
+
+def test_twa_locf_weighting(spark):
+    from stl_decomp_4j_spark.operators.readside import time_weighted_avg
+
+    # one day, three points: v=2 holds 60s, v=10 holds 120s, last opens none
+    # twa = (2*60 + 10*120) / 180 = 7.333333...
+    pts = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00"), 2.0),
+            ("a", _ts("2024-01-01 00:01:00"), 10.0),
+            ("a", _ts("2024-01-01 00:03:00"), 99.0),
+        ],
+        "url string, ts timestamp, value double",
+    )
+    [r] = time_weighted_avg(pts, granularity="day").collect()
+    assert r["twa"] == pytest.approx((2 * 60 + 10 * 120) / 180)
+    assert r["n_points"] == 3 and r["span_s"] == 180.0
+    assert r["ts"] == _ts("2024-01-01 00:00:00")
+
+
+def test_twa_single_point_and_duplicate_ts(spark):
+    from stl_decomp_4j_spark.operators.readside import time_weighted_avg
+
+    pts = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 05:00:00"), 4.0),
+            ("a", _ts("2024-01-01 05:00:00"), 6.0),  # duplicate ts -> mean 5
+            ("b", _ts("2024-01-02 00:00:00"), 3.0),
+            ("b", _ts("2024-01-02 00:00:10"), 9.0),
+        ],
+        "url string, ts timestamp, value double",
+    )
+    rows = {r["url"]: r for r in time_weighted_avg(pts, granularity="day").collect()}
+    assert rows["a"]["twa"] == 5.0 and rows["a"]["span_s"] == 0.0
+    assert rows["a"]["n_points"] == 2
+    assert rows["b"]["twa"] == 3.0  # v=3 holds the whole 10s span
+
+
+def test_twa_buckets_split_segments(spark):
+    from stl_decomp_4j_spark.operators.readside import time_weighted_avg
+
+    # points straddling midnight: the segment from 23:00 does NOT leak into
+    # day 2 (lead() is per-bucket); each day stands alone
+    pts = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 23:00:00"), 1.0),
+            ("a", _ts("2024-01-01 23:30:00"), 3.0),
+            ("a", _ts("2024-01-02 00:30:00"), 100.0),
+        ],
+        "url string, ts timestamp, value double",
+    )
+    rows = {r["ts"]: r for r in time_weighted_avg(pts, granularity="day").collect()}
+    assert rows[_ts("2024-01-01 00:00:00")]["twa"] == 1.0  # v=1 held 30m of 30m span
+    assert rows[_ts("2024-01-02 00:00:00")]["twa"] == 100.0
+
+
+def test_gapfill_linear_interpolates(spark):
+    from stl_decomp_4j_spark.operators.gapfill import gapfill_linear
+
+    buckets = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00"), 2),
+            ("a", _ts("2024-01-01 03:00:00"), 8),
+            ("a", _ts("2024-01-01 04:00:00"), 1),
+        ],
+        "url string, ts timestamp, cnt long",
+    )
+    rows = {r["ts"]: r for r in gapfill_linear(buckets, "hour").collect()}
+    assert len(rows) == 5
+    assert rows[_ts("2024-01-01 00:00:00")]["value"] == 2.0
+    assert rows[_ts("2024-01-01 01:00:00")]["value"] == pytest.approx(4.0)
+    assert rows[_ts("2024-01-01 02:00:00")]["value"] == pytest.approx(6.0)
+    assert rows[_ts("2024-01-01 03:00:00")]["value"] == 8.0
+    assert rows[_ts("2024-01-01 04:00:00")]["value"] == 1.0
+    assert [rows[t]["observed"] for t in sorted(rows)] == [True, False, False, True, True]
+
+
+def test_gapfill_linear_single_window_exchange(spark):
+    """Both ignore-nulls carries share one (url, ts) sort: the physical plan
+    must contain exactly one Window operator and no self-join."""
+    from stl_decomp_4j_spark.operators.gapfill import gapfill_linear
+
+    buckets = spark.createDataFrame(
+        [("a", _ts("2024-01-01 00:00:00"), 2)], "url string, ts timestamp, cnt long"
+    )
+    plan = (
+        gapfill_linear(buckets, "hour")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Window") == 1
+    # exactly the grid<-observed join of plain gapfill; interpolation adds none
+    assert plan.count("Join") <= 1

@@ -164,6 +164,27 @@ def main():
         _small_star(_large_star(edges))
     )
 
+    # round-3: read-side serving ops — as-of is union + ONE window (no join);
+    # twa's final agg reuses the window's (url, bucket) partitioning; linear
+    # gap-fill's two ignore-nulls carries share a single sort
+    from stl_decomp_4j_spark.operators.gapfill import gapfill_linear
+    from stl_decomp_4j_spark.operators.readside import asof_join, time_weighted_avg
+
+    probes = buckets.select(
+        "url", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts")
+    )
+    sections["as-of join (union + single window, zero joins)"] = plan_of(
+        asof_join(probes, buckets)
+    )
+    sections["time-weighted avg (agg reuses window partitioning)"] = plan_of(
+        time_weighted_avg(
+            pages.select("url", F.col("warc_ts").alias("ts"), F.lit(1.0).alias("value"))
+        )
+    )
+    sections["linear gap-fill (single window exchange)"] = plan_of(
+        gapfill_linear(buckets)
+    )
+
     sections["seasonal strength (single hash agg)"] = plan_of(
         seasonal_strength(dec_stored)
     )
@@ -272,6 +293,22 @@ def main():
     checks.append(
         ("components star round is codegen agg+join, no Python",
          "HashAggregate" in cc_plan and "EvalPython" not in cc_plan)
+    )
+    aj_plan = sections["as-of join (union + single window, zero joins)"]
+    checks.append(
+        ("as-of join: one Window, ZERO joins, no Python",
+         aj_plan.count(") Window") == 1 and ") Join" not in aj_plan
+         and "Join" not in aj_plan and "EvalPython" not in aj_plan)
+    )
+    twa_plan = sections["time-weighted avg (agg reuses window partitioning)"]
+    checks.append(
+        ("twa: final agg reuses window partitioning (2 exchanges total)",
+         twa_plan.count(") Exchange") == 2 and "EvalPython" not in twa_plan)
+    )
+    gl_plan = sections["linear gap-fill (single window exchange)"]
+    checks.append(
+        ("linear gap-fill: both carries in ONE Window, no self-join",
+         gl_plan.count(") Window") == 1 and "EvalPython" not in gl_plan)
     )
     st_plan = sections["seasonal strength (single hash agg)"]
     checks.append(
