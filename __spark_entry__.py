@@ -93,6 +93,26 @@ def q_asof_serving(spark, sf_dir):
     )
 
 
+def q_pctl_daily(spark, sf_dir):
+    """Per-(url, day) exact interpolated percentiles (p50/p95/p99) of the
+    hourly crawl-count series — the latency-style rollup sums can't derive.
+    Exact (PERCENTILE_CONT definition) because tier-from-tier groups are
+    bounded (<=24 hourly rows per day); the oracle is DuckDB quantile_cont,
+    the same interpolation rule."""
+    from stl_decomp_4j_spark.operators.rollup import percentile_rollup
+
+    hourly = _events_hourly(spark, sf_dir).select("url", "ts", F.col("cnt").cast("double").alias("value"))
+    out = percentile_rollup(hourly, granularity="day")
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        F.round("p99", 6).alias("p99"),
+        "cnt",
+    )
+
+
 def q_twa_daily(spark, sf_dir):
     """Per-(url, day) time-weighted average of the irregular event series:
     each observation LOCF-weighted by how long it was latest — the correct
@@ -710,6 +730,34 @@ def q_stl_forecast(spark, sf_dir):
     )
 
 
+def q_stl_backtest(spark, sf_dir):
+    """Forecast backtest: hold out each url's last 48 hours, decompose the
+    truncated series, forecast the holdout, and score per-url MAE / RMSE /
+    MASE (scaled by the in-sample seasonal-naive MAE).  The oracle rebuilds
+    the forecast rule from a Java-reference decomposition of the SAME
+    truncated series (stl_backtest fixture) and recomputes the metrics in
+    SQL against the independently gap-filled actuals."""
+    from stl_decomp_4j_spark.operators.forecast import forecast_backtest, stl_forecast
+    from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
+
+    series = _events_gapfilled(spark, sf_dir)
+    last = series.groupBy("url").agg(F.max("ts").alias("t_last"))
+    tagged = series.join(F.broadcast(last), "url")
+    cutoff = F.col("t_last") - F.expr("INTERVAL 48 HOURS")
+    trunc = tagged.filter(F.col("ts") <= cutoff).select("url", "ts", "value")
+    actuals = tagged.filter(F.col("ts") > cutoff).select("url", "ts", "value")
+    dec = stl_decompose_df(trunc, period=24, seasonal_width=35, robust=False, partitions=32)
+    fc = stl_forecast(dec, period=24, horizon=48, trend_window=24)
+    out = forecast_backtest(fc, actuals, trunc, period=24)
+    return out.select(
+        "url",
+        "n",
+        F.round("mae", 6).alias("mae"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("mase", 6).alias("mase"),
+    )
+
+
 def q_tier_audit(spark, sf_dir):
     """Cross-tier consistency audit with an injected corruption: the stored
     1d tier's sum_trend is shifted +10 for url='error', then audited against
@@ -812,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear": q_gapfill_linear,
         "asof_serving": q_asof_serving,
         "twa_daily": q_twa_daily,
+        "pctl_daily": q_pctl_daily,
         "rollup_daily": q_rollup_daily,
         "rollup_weekly": q_rollup_weekly,
         "sma_24h": q_sma_24h,
@@ -848,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_route_week": q_tier_route_week,
         "stl_anomalies": q_stl_anomalies,
         "stl_forecast": q_stl_forecast,
+        "stl_backtest": q_stl_backtest,
         "tier_audit": q_tier_audit,
         "stl_strength": q_stl_strength,
         "stl_changepoints": q_stl_changepoints,
@@ -929,6 +979,16 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(epoch(ts) - epoch(mt) AS BIGINT) END AS staleness_s
         FROM j
     """
+    pctl_daily = f"""
+        WITH hourly AS ({hourly_raw}),
+        v AS (SELECT url, date_trunc('day', ts) AS b, CAST(cnt AS DOUBLE) AS value FROM hourly)
+        SELECT url, strftime(b, '%Y-%m-%d %H:%M:%S') AS ts,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               count(*) AS cnt
+        FROM v GROUP BY url, b
+    """
     twa_daily = """
         WITH d AS (SELECT event_type AS url, ts AS t, avg(value) AS v, count(*) AS n
                    FROM events GROUP BY 1, 2),
@@ -950,6 +1010,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_linear": gapfill_linear,
         "asof_serving": asof_serving,
         "twa_daily": twa_daily,
+        "pctl_daily": pctl_daily,
         "rollup_daily": (
             "SELECT event_type AS url, strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ts, "
             "round(sum(value), 6) AS sum_value, min(value) AS min_value, max(value) AS max_value, "
@@ -1362,6 +1423,65 @@ def _stl_fixture_oracles() -> dict[str, str]:
                    round(s.seasonal_fc, 6) AS seasonal_fc,
                    round((g.trend_last + g.k * g.slope) + s.seasonal_fc, 6) AS forecast
             FROM grid g JOIN season s ON g.url = s.url AND (g.k - 1) % 24 = s.phase
+        """,
+        "stl_backtest": f"""
+            WITH h AS (SELECT * FROM read_parquet('{fix}/stl_backtest.parquet') WHERE {disc}),
+            last AS (SELECT url, max(ts) AS t_last FROM h GROUP BY url),
+            tail AS (
+                SELECT h.url, l.t_last, date_diff('hour', h.ts, l.t_last) AS age,
+                       h.trend, h.seasonal
+                FROM h JOIN last l USING (url)
+                WHERE h.ts >= l.t_last - INTERVAL 24 HOUR
+            ),
+            state AS (
+                SELECT url, t_last,
+                       max(CASE WHEN age = 0 THEN trend END) AS trend_last,
+                       max(CASE WHEN age = 24 THEN trend END) AS trend_anchor
+                FROM tail GROUP BY url, t_last
+            ),
+            slopes AS (
+                SELECT url, t_last, trend_last,
+                       (trend_last - coalesce(trend_anchor, trend_last)) / 24.0 AS slope
+                FROM state
+            ),
+            grid AS (
+                SELECT url, t_last, trend_last, slope,
+                       unnest(generate_series(1, 48)) AS k
+                FROM slopes
+            ),
+            season AS (SELECT url, 23 - age AS phase, seasonal AS seasonal_fc FROM tail WHERE age < 24),
+            fc AS (
+                SELECT g.url, g.t_last + to_hours(CAST(g.k AS BIGINT)) AS ts,
+                       (g.trend_last + g.k * g.slope) + s.seasonal_fc AS forecast
+                FROM grid g JOIN season s ON g.url = s.url AND (g.k - 1) % 24 = s.phase
+            ),
+            hourly AS (
+                SELECT event_type AS url, date_trunc('hour', ts) AS ts, count(*) AS cnt
+                FROM events GROUP BY 1, 2
+            ),
+            bounds AS (SELECT url, min(ts) AS t0, max(ts) AS t1 FROM hourly GROUP BY url),
+            act AS (
+                SELECT g.url, g.ts, coalesce(CAST(hh.cnt AS DOUBLE), 0.0) AS value
+                FROM (SELECT url, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS ts
+                      FROM bounds) g
+                LEFT JOIN hourly hh ON g.url = hh.url AND g.ts = hh.ts
+            ),
+            err AS (
+                SELECT f.url, count(*) AS n,
+                       avg(abs(f.forecast - a.value)) AS mae,
+                       sqrt(avg((f.forecast - a.value) * (f.forecast - a.value))) AS rmse
+                FROM fc f JOIN act a ON f.url = a.url AND f.ts = a.ts
+                GROUP BY f.url
+            ),
+            sc AS (
+                SELECT url, avg(abs(d)) AS scale FROM (
+                    SELECT url,
+                           value - lag(value, 24) OVER (PARTITION BY url ORDER BY ts) AS d
+                    FROM h) WHERE d IS NOT NULL GROUP BY url
+            )
+            SELECT e.url, e.n, round(e.mae, 6) AS mae, round(e.rmse, 6) AS rmse,
+                   round(CASE WHEN s.scale > 0 THEN e.mae / s.scale END, 6) AS mase
+            FROM err e JOIN sc s USING (url)
         """,
         "tier_audit": f"""
             WITH h AS (SELECT * FROM read_parquet('{fix}/stl_decompose_events.parquet') WHERE {disc}),

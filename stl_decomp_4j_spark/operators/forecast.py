@@ -136,3 +136,56 @@ def stl_forecast(
         .withColumn("forecast", F.col("trend_fc") + F.col("seasonal_fc"))
     )
     return out.select("url", "ts", "k", "trend_fc", "seasonal_fc", "forecast")
+
+
+def forecast_backtest(
+    forecast: DataFrame,
+    actuals: DataFrame,
+    insample: DataFrame,
+    period: int,
+) -> DataFrame:
+    """Holdout accuracy of a forecast: per-url MAE / RMSE / MASE.
+
+    ``forecast`` is stl_forecast output (url, ts, forecast) built from a
+    TRUNCATED series; ``actuals`` the held-out (url, ts, value) rows;
+    ``insample`` the truncated (url, ts, value) series itself, from which the
+    MASE scale is the in-sample seasonal-naive MAE (mean |y_t - y_{t-period}|
+    — Hyndman & Koehler 2006), making MASE comparable across urls of any
+    magnitude (mase < 1 beats repeating last season).
+
+    Scale shape: the forecast side is horizon-rows-per-url tiny, so the
+    error join broadcasts it against the big actuals table; the scale pass
+    is one lag window + hash agg over the in-sample series; the final
+    scale<->error join is per-url one-row-each.  No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    err = (
+        actuals.join(
+            F.broadcast(forecast.select("url", "ts", "forecast")), ["url", "ts"]
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(F.abs(F.col("forecast") - F.col("value"))).alias("mae"),
+            F.sqrt(
+                F.avg(
+                    (F.col("forecast") - F.col("value"))
+                    * (F.col("forecast") - F.col("value"))
+                )
+            ).alias("rmse"),
+        )
+    )
+    w = Window.partitionBy("url").orderBy("ts")
+    scale = (
+        insample.withColumn("_naive", F.lag("value", period).over(w))
+        .groupBy("url")
+        .agg(F.avg(F.abs(F.col("value") - F.col("_naive"))).alias("_scale"))
+    )
+    return err.join(F.broadcast(scale), "url").select(
+        "url",
+        "n",
+        "mae",
+        "rmse",
+        F.when(F.col("_scale") > 0, F.col("mae") / F.col("_scale")).alias("mase"),
+    )

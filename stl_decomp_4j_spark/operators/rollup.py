@@ -67,6 +67,33 @@ def with_averages(tier: DataFrame) -> DataFrame:
     return out
 
 
+def percentile_rollup(
+    points: DataFrame,
+    granularity: str = "day",
+    percentiles: tuple[float, ...] = (0.5, 0.95, 0.99),
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact interpolated percentiles per (url, bucket) — the latency-style
+    rollup sums/counts can't derive.
+
+    Uses Spark's exact ``percentile`` (linear interpolation, the SQL-standard
+    PERCENTILE_CONT definition DuckDB's quantile_cont shares), NOT
+    approx_percentile: percentiles are only safe as a rollup when the
+    per-group row count is bounded, and tier-from-tier groups are (a day
+    bucket holds <= 24 hourly rows, a week <= 7 daily rows), so the exact
+    aggregate's per-group buffer is O(24) — no sketch needed, and the result
+    is reproducible bit-for-bit by any engine.  One partial+final hash
+    aggregate, no window, no Python.
+    """
+    aggs = [
+        F.percentile(value_col, F.lit(p)).alias(f"p{str(p)[2:].ljust(2, '0')}")
+        for p in percentiles
+    ]
+    return points.groupBy(
+        "url", F.date_trunc(granularity, "ts").alias("ts")
+    ).agg(*aggs, F.count(F.lit(1)).alias("cnt"))
+
+
 def build_tiers(decomposed: DataFrame) -> dict[str, DataFrame]:
     """1h -> 1d -> 1w continuous aggregates."""
     t1h = hourly_tier(decomposed)

@@ -81,3 +81,51 @@ def test_cache_handle_persists_and_is_returned(spark):
     assert out.count() == 4
     assert len(handle) == 1 and handle[0].is_cached
     handle[0].unpersist()
+
+
+def test_backtest_hand_metrics(spark):
+    """MAE / RMSE / MASE against hand-computed values."""
+    import datetime as dt
+
+    from stl_decomp_4j_spark.operators.forecast import forecast_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def hours(vals, start=0):
+        return [
+            (u, t0 + dt.timedelta(hours=start + i), float(v))
+            for u, series in vals.items()
+            for i, v in enumerate(series)
+        ]
+
+    schema_v = "url string, ts timestamp, value double"
+    fc = spark.createDataFrame(
+        [(u, t, v) for u, t, v in hours({"a": [1, 2, 3, 4]}, start=5)],
+        "url string, ts timestamp, forecast double",
+    )
+    actuals = spark.createDataFrame(hours({"a": [1, 4, 3, 8]}, start=5), schema_v)
+    insample = spark.createDataFrame(hours({"a": [10, 20, 11, 23, 14]}), schema_v)
+    [r] = forecast_backtest(fc, actuals, insample, period=2).collect()
+    assert r["n"] == 4
+    assert r["mae"] == pytest.approx(1.5)          # |0|+|2|+|0|+|4| / 4
+    assert r["rmse"] == pytest.approx(5.0 ** 0.5)  # sqrt((0+4+0+16)/4)
+    # seasonal-naive in-sample diffs at lag 2: |11-10|,|23-20|,|14-11| -> 7/3
+    assert r["mase"] == pytest.approx(1.5 / (7.0 / 3.0))
+
+
+def test_backtest_zero_scale_gives_null_mase(spark):
+    import datetime as dt
+
+    from stl_decomp_4j_spark.operators.forecast import forecast_backtest
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda col, vals, start=0: spark.createDataFrame(
+        [("a", t0 + dt.timedelta(hours=start + i), float(v)) for i, v in enumerate(vals)],
+        f"url string, ts timestamp, {col} double",
+    )
+    # constant in-sample series -> seasonal-naive scale 0 -> mase NULL, not inf
+    [r] = forecast_backtest(
+        mk("forecast", [5, 5], start=4), mk("value", [6, 6], start=4),
+        mk("value", [7, 7, 7, 7]), period=2,
+    ).collect()
+    assert r["mae"] == pytest.approx(1.0) and r["mase"] is None

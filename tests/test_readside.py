@@ -167,3 +167,18 @@ def test_gapfill_linear_single_window_exchange(spark):
     assert plan.count("Window") == 1
     # exactly the grid<-observed join of plain gapfill; interpolation adds none
     assert plan.count("Join") <= 1
+
+
+def test_percentile_rollup_exact_interpolation(spark):
+    from stl_decomp_4j_spark.operators.rollup import percentile_rollup
+
+    pts = spark.createDataFrame(
+        [("a", _ts("2024-01-01 0%d:00:00" % i), float(v)) for i, v in enumerate([1, 2, 3, 4])],
+        "url string, ts timestamp, value double",
+    )
+    [r] = percentile_rollup(pts, granularity="day").collect()
+    # PERCENTILE_CONT linear interpolation on [1,2,3,4]
+    assert r["p50"] == pytest.approx(2.5)
+    assert r["p95"] == pytest.approx(1 + 0.95 * 3)
+    assert r["p99"] == pytest.approx(1 + 0.99 * 3)
+    assert r["cnt"] == 4 and r["ts"] == _ts("2024-01-01 00:00:00")

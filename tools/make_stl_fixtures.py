@@ -101,11 +101,31 @@ def build_fixtures(sf_dirs: list[str]) -> None:
     frames: dict[str, list[pd.DataFrame]] = {k: [] for k in (
         "stl_decompose_events", "stl_periodic", "stl_robust_periodic",
         "stl_seasonal_smooth", "stl_exogenous", "stl_fit_stats",
+        "stl_backtest",
     )}
     for sf in sf_dirs:
         n_events = duckdb.sql(f"SELECT count(*) FROM read_parquet('{sf}/events.parquet')").fetchone()[0]
         series = duckdb.sql(GAPFILL_SQL.format(sf=sf)).df()
         res, stats, smooth = run_reference(series)
+
+        # backtest fixture: the reference decomposes each series MINUS its
+        # last 48 grid rows (the holdout the backtest query forecasts);
+        # carries the truncated values too (the MASE scale reads them)
+        trunc = duckdb.sql(
+            "SELECT url, ts, value FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY url ORDER BY ts DESC) AS rn"
+            "  FROM series) WHERE rn > 48 ORDER BY url, ts"
+        ).df()
+        tres, _, _ = run_reference(trunc)
+        trunc = trunc.reset_index(drop=True)
+        trunc["i"] = trunc.groupby("url").cumcount()
+        tkey = trunc[["url", "i", "ts", "value"]]
+        tstd = tres[tres["tag"] == "std"].merge(tkey, on=["url", "i"])[
+            ["url", "ts", "value", "trend", "seasonal", "residual"]
+        ]
+        tstd = tstd.copy()
+        tstd["n_events"] = np.int64(n_events)
+        frames["stl_backtest"].append(tstd)
         # positional index -> grid timestamp, per url
         series = series.reset_index(drop=True)
         series["i"] = series.groupby("url").cumcount()
