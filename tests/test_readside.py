@@ -182,3 +182,50 @@ def test_percentile_rollup_exact_interpolation(spark):
     assert r["p95"] == pytest.approx(1 + 0.95 * 3)
     assert r["p99"] == pytest.approx(1 + 0.99 * 3)
     assert r["cnt"] == 4 and r["ts"] == _ts("2024-01-01 00:00:00")
+
+
+def test_asof_matches_pandas_merge_asof_property(spark):
+    """Adversarial cross-check: the union+window as-of join must agree with
+    pandas.merge_asof (direction='backward', inclusive) on seeded random
+    data with duplicate-free per-key data timestamps, including keys that
+    appear only in probes or only in data."""
+    import numpy as np
+    import pandas as pd
+
+    from stl_decomp_4j_spark.operators.readside import asof_join
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-01-01")
+    for trial in range(5):
+        keys = [f"u{i}" for i in range(rng.integers(1, 6))]
+        data_rows, probe_rows = [], []
+        for k in keys + ["probe_only"]:
+            if k != "probe_only":
+                n = int(rng.integers(0, 40))
+                ts = np.unique(rng.integers(0, 10_000, size=n))
+                for t in ts:
+                    data_rows.append((k, base + pd.Timedelta(seconds=int(t)),
+                                      float(rng.normal())))
+            m = int(rng.integers(1, 30))
+            for t in rng.integers(-100, 10_100, size=m):
+                probe_rows.append((k, base + pd.Timedelta(seconds=int(t))))
+        if not data_rows:
+            continue
+        data_pd = pd.DataFrame(data_rows, columns=["url", "ts", "v"])
+        probe_pd = pd.DataFrame(probe_rows, columns=["url", "ts"]).drop_duplicates()
+
+        expected = pd.merge_asof(
+            probe_pd.sort_values("ts"), data_pd.sort_values("ts"),
+            on="ts", by="url", direction="backward",
+        ).set_index(["url", "ts"])["v"]
+
+        got = asof_join(
+            spark.createDataFrame(probe_pd), spark.createDataFrame(data_pd)
+        ).collect()
+        assert len(got) == len(probe_pd)
+        for r in got:
+            exp = expected.loc[(r["url"], pd.Timestamp(r["ts"]))]
+            if pd.isna(exp):
+                assert r["v"] is None, (trial, r)
+            else:
+                assert r["v"] == exp, (trial, r)
