@@ -730,6 +730,19 @@ def q_stl_forecast(spark, sf_dir):
     )
 
 
+def q_lttb_downsample(spark, sf_dir):
+    """LTTB visual downsampling (Steinarsson 2013): each url's dense hourly
+    series reduced to 100 shape-preserving points (first/last kept, one
+    largest-triangle pick per bucket).  The oracle is a committed fixture
+    computed by an INDEPENDENT naive scalar transcription of the thesis
+    pseudocode (tools/make_lttb_fixture.py) on the DuckDB-gap-filled
+    series."""
+    from stl_decomp_4j_spark.operators.downsample import lttb
+
+    out = lttb(_events_gapfilled(spark, sf_dir), n_out=100)
+    return _fmt_ts(out).select("url", "ts", F.round("value", 6).alias("value"))
+
+
 def q_stl_backtest(spark, sf_dir):
     """Forecast backtest: hold out each url's last 48 hours, decompose the
     truncated series, forecast the holdout, and score per-url MAE / RMSE /
@@ -898,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_anomalies": q_stl_anomalies,
         "stl_forecast": q_stl_forecast,
         "stl_backtest": q_stl_backtest,
+        "lttb_downsample": q_lttb_downsample,
         "tier_audit": q_tier_audit,
         "stl_strength": q_stl_strength,
         "stl_changepoints": q_stl_changepoints,
@@ -1423,6 +1437,11 @@ def _stl_fixture_oracles() -> dict[str, str]:
                    round(s.seasonal_fc, 6) AS seasonal_fc,
                    round((g.trend_last + g.k * g.slope) + s.seasonal_fc, 6) AS forecast
             FROM grid g JOIN season s ON g.url = s.url AND (g.k - 1) % 24 = s.phase
+        """,
+        "lttb_downsample": f"""
+            SELECT url, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   round(value, 6) AS value
+            FROM read_parquet('{fix}/lttb_hourly.parquet') WHERE {disc}
         """,
         "stl_backtest": f"""
             WITH h AS (SELECT * FROM read_parquet('{fix}/stl_backtest.parquet') WHERE {disc}),
