@@ -133,6 +133,76 @@ def q_twa_daily(spark, sf_dir):
     )
 
 
+def q_counter_rate_daily(spark, sf_dir):
+    """Counter increase / per-second rate per (url, day) with reset
+    detection (PromQL increase()/rate(); TimescaleDB counter_agg) over a
+    synthetic monotonic counter derived from the hourly crawl counts
+    (running cumsum % 100 — each wraparound is a process-restart reset the
+    operator must adjust for).  The oracle recomputes the lag/reset-offset
+    windows and arg_min/arg_max bucketing in DuckDB."""
+    from stl_decomp_4j_spark.operators.readside import counter_rate
+
+    hourly = _events_hourly(spark, sf_dir)
+    w = (
+        Window.partitionBy("url")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    counter = hourly.select(
+        "url",
+        "ts",
+        (F.sum("cnt").over(w) % F.lit(100)).cast("double").alias("value"),
+    )
+    out = counter_rate(counter, granularity="day")
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        F.round("delta", 6).alias("delta"),
+        F.round("rate_per_s", 6).alias("rate_per_s"),
+        "n_resets",
+        "n_points",
+        F.round("span_s", 6).alias("span_s"),
+    )
+
+
+def q_ohlc_daily(spark, sf_dir):
+    """Open-high-low-close per (url, day) over the hourly crawl counts
+    (TimescaleDB ohlc()/candlestick_agg): open/close via min_by/max_by on
+    the timestamp, one partial+final hash aggregate.  The oracle is DuckDB
+    arg_min/arg_max/min/max on the same buckets."""
+    from stl_decomp_4j_spark.operators.rollup import ohlc_rollup
+
+    hourly = _events_hourly(spark, sf_dir).select(
+        "url", "ts", F.col("cnt").cast("double").alias("value")
+    )
+    out = ohlc_rollup(hourly, granularity="day")
+    return _fmt_ts(out).select("url", "ts", "open", "high", "low", "close", "cnt")
+
+
+def q_stats_daily(spark, sf_dir):
+    """Per-(url, day) descriptive + linear-trend stats (TimescaleDB
+    stats_agg 2D): mean/sample-stddev of the hourly counts plus OLS
+    slope/intercept/r² of count vs seconds-within-day.  Moment sums with
+    bucket-relative x are integer-exact in float64, so DuckDB reproduces the
+    divisions bit-for-bit."""
+    from stl_decomp_4j_spark.operators.rollup import stats_rollup
+
+    hourly = _events_hourly(spark, sf_dir).select(
+        "url", "ts", F.col("cnt").cast("double").alias("value")
+    )
+    out = stats_rollup(hourly, granularity="day")
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("stddev_value", 6).alias("stddev_value"),
+        F.round(F.col("slope_per_s") * 3600, 6).alias("slope_per_h"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+        "n",
+    )
+
+
 def q_rollup_daily(spark, sf_dir):
     events = spark.read.parquet(_t(sf_dir, "events"))
     return _fmt_ts(
@@ -873,6 +943,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_linear": q_gapfill_linear,
         "asof_serving": q_asof_serving,
         "twa_daily": q_twa_daily,
+        "counter_rate_daily": q_counter_rate_daily,
+        "ohlc_daily": q_ohlc_daily,
+        "stats_daily": q_stats_daily,
         "pctl_daily": q_pctl_daily,
         "rollup_daily": q_rollup_daily,
         "rollup_weekly": q_rollup_weekly,
@@ -1018,12 +1091,80 @@ def oracle_sql() -> dict[str, str]:
                round(epoch(max(t)) - epoch(min(t)), 6) AS span_s
         FROM s GROUP BY url, b
     """
+    counter_rate_daily = f"""
+        WITH hourly AS ({hourly_raw}),
+        c AS (SELECT url, ts,
+                     CAST(sum(cnt) OVER (PARTITION BY url ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 100
+                       AS DOUBLE) AS v
+              FROM hourly),
+        l AS (SELECT url, ts, v,
+                     lag(v) OVER (PARTITION BY url ORDER BY ts) AS pv
+              FROM c),
+        a AS (SELECT url, ts,
+                     CASE WHEN v < pv THEN 1 ELSE 0 END AS r,
+                     v + sum(CASE WHEN v < pv THEN pv ELSE 0 END) OVER
+                       (PARTITION BY url ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS adj
+              FROM l),
+        g AS (SELECT url, date_trunc('day', ts) AS b, ts, adj, r FROM a)
+        SELECT url, strftime(b, '%Y-%m-%d %H:%M:%S') AS ts,
+               round(arg_max(adj, ts) - arg_min(adj, ts), 6) AS delta,
+               CASE WHEN epoch(max(ts)) - epoch(min(ts)) > 0
+                    THEN round((arg_max(adj, ts) - arg_min(adj, ts))
+                               / (epoch(max(ts)) - epoch(min(ts))), 6)
+               END AS rate_per_s,
+               CAST(sum(r) AS BIGINT) AS n_resets,
+               count(*) AS n_points,
+               round(epoch(max(ts)) - epoch(min(ts)), 6) AS span_s
+        FROM g GROUP BY url, b
+    """
+    ohlc_daily = f"""
+        WITH hourly AS ({hourly_raw})
+        SELECT url, strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ts,
+               arg_min(CAST(cnt AS DOUBLE), ts) AS open,
+               max(CAST(cnt AS DOUBLE)) AS high,
+               min(CAST(cnt AS DOUBLE)) AS low,
+               arg_max(CAST(cnt AS DOUBLE), ts) AS close,
+               count(*) AS cnt
+        FROM hourly GROUP BY url, date_trunc('day', ts)
+    """
+    stats_daily = f"""
+        WITH hourly AS ({hourly_raw}),
+        v AS (SELECT url, date_trunc('day', ts) AS b,
+                     epoch(ts) - epoch(date_trunc('day', ts)) AS x,
+                     CAST(cnt AS DOUBLE) AS y
+              FROM hourly),
+        m AS (SELECT url, b, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+              FROM v GROUP BY url, b)
+        SELECT url, strftime(b, '%Y-%m-%d %H:%M:%S') AS ts,
+               round(sy / n, 6) AS avg_value,
+               CASE WHEN n > 1
+                    THEN round(sqrt(greatest((syy - sy*sy/n) / (n-1), 0)), 6)
+               END AS stddev_value,
+               CASE WHEN n*sxx - sx*sx <> 0
+                    THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx) * 3600, 6)
+               END AS slope_per_h,
+               CASE WHEN n*sxx - sx*sx <> 0
+                    THEN round((sy - (n*sxy - sx*sy)/(n*sxx - sx*sx) * sx) / n, 6)
+               END AS intercept,
+               CASE WHEN n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0
+                    THEN round((n*sxy - sx*sy)*(n*sxy - sx*sy)
+                               / ((n*sxx - sx*sx)*(n*syy - sy*sy)), 6)
+               END AS r2,
+               n
+        FROM m
+    """
     return {
         "bucketize_hourly": hourly,
         "gapfill_hourly": gapfill,
         "gapfill_linear": gapfill_linear,
         "asof_serving": asof_serving,
         "twa_daily": twa_daily,
+        "counter_rate_daily": counter_rate_daily,
+        "ohlc_daily": ohlc_daily,
+        "stats_daily": stats_daily,
         "pctl_daily": pctl_daily,
         "rollup_daily": (
             "SELECT event_type AS url, strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ts, "

@@ -11,6 +11,10 @@ answer (TimescaleDB calls these hyperfunctions; kdb+ calls the first `aj`):
                       each observation is weighted by how long it was the
                       latest value (LOCF weighting), not by sample count —
                       the correct downsample for unevenly spaced samples.
+- ``counter_rate``  — per-bucket increase / per-second rate of a monotonic
+                      counter with reset detection (PromQL ``increase()`` /
+                      ``rate()``; TimescaleDB ``counter_agg`` → ``delta()`` /
+                      ``rate()``).
 
 Scale notes (the reason these are NOT joins):
 
@@ -144,6 +148,87 @@ def time_weighted_avg(
             F.when(F.col("_span") > 0, F.col("_wsum") / F.col("_span"))
             .otherwise(F.col("_v1"))
             .alias("twa"),
+            "n_points",
+            F.col("_span").alias("span_s"),
+        )
+    )
+
+
+def counter_rate(
+    points: DataFrame,
+    granularity: str = "day",
+    on: str = "url",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(key, bucket) increase and per-second rate of a monotonic counter
+    with reset detection — PromQL ``increase()``/``rate()``, TimescaleDB
+    ``counter_agg`` → ``delta()``/``rate()``.
+
+    A sample that DROPS below its predecessor marks a counter reset (process
+    restart).  The standard adjustment assumes the counter restarted from
+    zero: every sample is lifted by the running sum of the pre-reset values
+    seen so far, making the adjusted series monotone.  (Like PromQL, any
+    increase accrued between the last pre-reset sample and the reset itself
+    is lost — both the engine and any oracle must apply the same rule.)
+
+    Per (key, bucket):
+      - ``delta``    = adjusted(last sample) - adjusted(first sample)
+      - ``rate_per_s`` = delta / (t_last - t_first) seconds; NULL when the
+        bucket has a single distinct timestamp (PromQL needs >= 2 samples)
+      - ``n_resets`` = drops whose falling sample lands in the bucket
+      - ``n_points``, ``span_s``
+
+    Within-bucket semantics (TimescaleDB ``counter_agg``): the increase
+    between the previous bucket's last sample and this bucket's first is
+    charged to neither bucket.
+
+    Duplicate (key, ts) readings collapse to their max first (under
+    monotonicity the later reading of an instant is the larger), so the
+    lag() window is deterministic.
+
+    Shape: one hash aggregate for the collapse, then lag + running-sum
+    windows sharing a single (key)-partitioned sort, then a partial+final
+    hash aggregate on (key, bucket) — whose required clustering is already
+    satisfied by the key partitioning, so the window exchange is the only
+    shuffle after the collapse.  All codegen; no joins, no Python.
+    """
+    dedup = points.groupBy(F.col(on), F.col(ts_col).alias("_t")).agg(
+        F.max(value_col).alias("_v")
+    )
+    w = Window.partitionBy(on).orderBy("_t")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("_v").over(w)
+    # first row per key: prev is NULL -> comparison NULL -> not a reset
+    seg = dedup.withColumn(
+        "_reset", F.when(F.col("_v") < prev, F.lit(1)).otherwise(F.lit(0))
+    ).withColumn(
+        "_adj",
+        F.col("_v")
+        + F.sum(F.when(F.col("_v") < prev, prev).otherwise(F.lit(0))).over(run),
+    )
+    seg = seg.withColumn("_b", F.date_trunc(granularity, "_t"))
+
+    def _epoch(c):
+        return c.cast("timestamp").cast("double")
+
+    span = _epoch(F.max("_t")) - _epoch(F.min("_t"))
+    return (
+        seg.groupBy(F.col(on), F.col("_b").alias(ts_col))
+        .agg(
+            (F.max_by("_adj", "_t") - F.min_by("_adj", "_t")).alias("delta"),
+            span.alias("_span"),
+            F.sum("_reset").alias("n_resets"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .select(
+            on,
+            ts_col,
+            "delta",
+            F.when(F.col("_span") > 0, F.col("delta") / F.col("_span")).alias(
+                "rate_per_s"
+            ),
+            "n_resets",
             "n_points",
             F.col("_span").alias("span_s"),
         )

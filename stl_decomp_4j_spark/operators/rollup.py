@@ -94,6 +94,96 @@ def percentile_rollup(
     ).agg(*aggs, F.count(F.lit(1)).alias("cnt"))
 
 
+def ohlc_rollup(
+    points: DataFrame,
+    granularity: str = "day",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Open-high-low-close per (url, bucket) — TimescaleDB ``ohlc()`` /
+    ``candlestick_agg``: open/close are the earliest/latest sample's value
+    (``min_by``/``max_by`` on the timestamp — deterministic when instants are
+    unique; collapse duplicates upstream), high/low are plain max/min.
+
+    One partial+final hash aggregate: min_by/max_by carry (ts, value) pairs
+    through the partial phase, so there is no window, no sort, no join.
+    """
+    b = points.withColumn("_b", F.date_trunc(granularity, ts_col))
+    out = b.groupBy("url", "_b").agg(
+        F.min_by(value_col, ts_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, ts_col).alias("close"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return out.withColumnRenamed("_b", ts_col).select(
+        "url", ts_col, "open", "high", "low", "close", "cnt"
+    )
+
+
+def stats_rollup(
+    points: DataFrame,
+    granularity: str = "day",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-(url, bucket) descriptive + linear-trend statistics — TimescaleDB
+    ``stats_agg`` (two-variable form): mean and sample-stddev of the value
+    plus the OLS slope / intercept / r² of value against seconds-within-
+    bucket — the per-bucket trend direction dashboards plot.
+
+    Everything derives from moment SUMS (n, Σx, Σy, Σxx, Σxy, Σyy) computed
+    by built-in codegen aggregates, with x RELATIVE to the bucket start:
+
+    - relative x keeps Σxx small (an absolute epoch² is ~3e18 and the
+      n·Σxx − (Σx)² difference would cancel catastrophically); for grid
+      series x and y are integer-valued, so the moments are exact in float64
+      and any engine reproduces slope/intercept/r² bit-for-bit — the final
+      formulas are single divisions, not engine-specific streaming updates.
+    - single-sample buckets: stddev/slope/intercept/r² are NULL (n−1 = 0 /
+      zero x-variance); constant-y buckets: r² NULL (zero y-variance).
+
+    One partial+final hash aggregate; no window, no Python.
+    """
+    b = points.withColumn("_b", F.date_trunc(granularity, ts_col))
+    # TIMESTAMP_NTZ-safe epoch hop (UTC session; keeps sub-second precision)
+    x = F.col(ts_col).cast("timestamp").cast("double") - F.col("_b").cast(
+        "timestamp"
+    ).cast("double")
+    y = F.col(value_col).cast("double")
+    b = b.withColumn("_x", x).withColumn("_y", y)
+    g = b.groupBy("url", "_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    den_x = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    den_y = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = F.when(den_x != 0, num / den_x)
+    var_samp = (F.col("_syy") - F.col("_sy") * F.col("_sy") / n) / (n - 1)
+    return g.select(
+        "url",
+        F.col("_b").alias(ts_col),
+        (F.col("_sy") / n).alias("avg_value"),
+        F.when(F.col("n") > 1, F.sqrt(F.greatest(var_samp, F.lit(0.0)))).alias(
+            "stddev_value"
+        ),
+        slope.alias("slope_per_s"),
+        F.when(den_x != 0, (F.col("_sy") - slope * F.col("_sx")) / n).alias(
+            "intercept"
+        ),
+        F.when(
+            (den_x != 0) & (den_y != 0), num * num / (den_x * den_y)
+        ).alias("r2"),
+        "n",
+    )
+
+
 def build_tiers(decomposed: DataFrame) -> dict[str, DataFrame]:
     """1h -> 1d -> 1w continuous aggregates."""
     t1h = hourly_tier(decomposed)

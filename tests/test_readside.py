@@ -229,3 +229,135 @@ def test_asof_matches_pandas_merge_asof_property(spark):
                 assert r["v"] is None, (trial, r)
             else:
                 assert r["v"] == exp, (trial, r)
+
+
+def test_counter_rate_resets_and_buckets(spark):
+    from stl_decomp_4j_spark.operators.readside import counter_rate
+
+    df = spark.createDataFrame(
+        [
+            # url a, day 1: one reset mid-day (60 -> 5)
+            ("a", _ts("2024-01-01 00:00:00"), 10.0),
+            ("a", _ts("2024-01-01 06:00:00"), 60.0),
+            ("a", _ts("2024-01-01 12:00:00"), 5.0),
+            ("a", _ts("2024-01-01 18:00:00"), 25.0),
+            # url a, day 2: raw 40 > prev raw 25 -> NOT a reset at the
+            # bucket boundary; then 40 -> 2 is one
+            ("a", _ts("2024-01-02 00:00:00"), 40.0),
+            ("a", _ts("2024-01-02 12:00:00"), 2.0),
+            # url b: single sample -> zero span, NULL rate
+            ("b", _ts("2024-01-01 00:00:00"), 5.0),
+        ],
+        "url string, ts timestamp, value double",
+    )
+    rows = {
+        (r["url"], r["ts"]): r
+        for r in counter_rate(df, granularity="day").collect()
+    }
+    d1 = rows[("a", _ts("2024-01-01 00:00:00"))]
+    # adjusted: 10, 60, 65 (offset 60), 85 -> delta 75 over 18h
+    assert d1["delta"] == 75.0
+    assert d1["rate_per_s"] == pytest.approx(75.0 / 64800.0)
+    assert d1["n_resets"] == 1 and d1["n_points"] == 4
+    assert d1["span_s"] == 64800.0
+
+    d2 = rows[("a", _ts("2024-01-02 00:00:00"))]
+    # adjusted: 100 (offset 60 carried), 102 (offset 100) -> delta 2
+    assert d2["delta"] == 2.0
+    assert d2["rate_per_s"] == pytest.approx(2.0 / 43200.0)
+    assert d2["n_resets"] == 1 and d2["n_points"] == 2
+
+    b = rows[("b", _ts("2024-01-01 00:00:00"))]
+    assert b["delta"] == 0.0 and b["rate_per_s"] is None
+    assert b["n_resets"] == 0 and b["n_points"] == 1 and b["span_s"] == 0.0
+
+
+def test_counter_rate_duplicate_ts_collapse(spark):
+    from stl_decomp_4j_spark.operators.readside import counter_rate
+
+    df = spark.createDataFrame(
+        [
+            ("c", _ts("2024-01-01 00:00:00"), 5.0),
+            ("c", _ts("2024-01-01 00:00:00"), 7.0),  # dup instant -> max = 7
+            ("c", _ts("2024-01-01 01:00:00"), 3.0),  # reset vs 7 -> adj 10
+        ],
+        "url string, ts timestamp, value double",
+    )
+    (r,) = counter_rate(df, granularity="day").collect()
+    assert r["delta"] == 3.0  # 10 - 7
+    assert r["n_resets"] == 1 and r["n_points"] == 2
+    assert r["rate_per_s"] == pytest.approx(3.0 / 3600.0)
+
+
+def test_counter_rate_monotonic_counter_equals_plain_delta(spark):
+    from stl_decomp_4j_spark.operators.readside import counter_rate
+
+    rows = [
+        ("m", _ts("2024-01-01 00:00:00") + dt.timedelta(hours=h), float(h * h))
+        for h in range(24)
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, value double")
+    (r,) = counter_rate(df, granularity="day").collect()
+    assert r["delta"] == 23.0 * 23.0 and r["n_resets"] == 0
+    assert r["rate_per_s"] == pytest.approx(529.0 / (23 * 3600))
+
+
+def test_ohlc_rollup(spark):
+    from stl_decomp_4j_spark.operators.rollup import ohlc_rollup
+
+    df = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:00:00"), 3.0),
+            ("a", _ts("2024-01-01 01:00:00"), 9.0),
+            ("a", _ts("2024-01-01 02:00:00"), 1.0),
+            ("a", _ts("2024-01-01 03:00:00"), 5.0),
+            ("a", _ts("2024-01-02 07:00:00"), 4.0),  # single-sample bucket
+        ],
+        "url string, ts timestamp, value double",
+    )
+    rows = {(r["url"], r["ts"]): r for r in ohlc_rollup(df).collect()}
+    d1 = rows[("a", _ts("2024-01-01 00:00:00"))]
+    assert (d1["open"], d1["high"], d1["low"], d1["close"], d1["cnt"]) == (
+        3.0, 9.0, 1.0, 5.0, 4,
+    )
+    d2 = rows[("a", _ts("2024-01-02 00:00:00"))]
+    assert (d2["open"], d2["high"], d2["low"], d2["close"], d2["cnt"]) == (
+        4.0, 4.0, 4.0, 4.0, 1,
+    )
+
+
+def test_stats_rollup_perfect_line_and_edge_buckets(spark):
+    from stl_decomp_4j_spark.operators.rollup import stats_rollup
+
+    df = spark.createDataFrame(
+        [
+            # perfect line y = 2*hours + 1
+            ("a", _ts("2024-01-01 00:00:00"), 1.0),
+            ("a", _ts("2024-01-01 01:00:00"), 3.0),
+            ("a", _ts("2024-01-01 02:00:00"), 5.0),
+            # single sample
+            ("a", _ts("2024-01-02 00:00:00"), 7.0),
+            # constant y
+            ("b", _ts("2024-01-01 00:00:00"), 4.0),
+            ("b", _ts("2024-01-01 01:00:00"), 4.0),
+        ],
+        "url string, ts timestamp, value double",
+    )
+    rows = {(r["url"], r["ts"]): r for r in stats_rollup(df).collect()}
+    line = rows[("a", _ts("2024-01-01 00:00:00"))]
+    assert line["avg_value"] == 3.0
+    assert line["stddev_value"] == 2.0  # sample stddev of 1,3,5
+    assert line["slope_per_s"] == pytest.approx(2.0 / 3600.0)
+    assert line["intercept"] == pytest.approx(1.0)
+    assert line["r2"] == pytest.approx(1.0)
+    assert line["n"] == 3
+
+    single = rows[("a", _ts("2024-01-02 00:00:00"))]
+    assert single["avg_value"] == 7.0
+    assert single["stddev_value"] is None
+    assert single["slope_per_s"] is None and single["intercept"] is None
+    assert single["r2"] is None
+
+    flat = rows[("b", _ts("2024-01-01 00:00:00"))]
+    assert flat["slope_per_s"] == 0.0 and flat["stddev_value"] == 0.0
+    assert flat["r2"] is None  # zero y-variance: correlation undefined
