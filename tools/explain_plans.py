@@ -185,6 +185,24 @@ def main():
         gapfill_linear(buckets)
     )
 
+    # round-3: counter/ohlc/stats rollups — counter_rate's lag + running-sum
+    # windows share one url-partitioned sort and the final (url, bucket) agg
+    # is satisfied by the url partitioning (no exchange after the windows);
+    # ohlc/stats are single partial+final hash aggs, no window, no Python
+    from stl_decomp_4j_spark.operators.readside import counter_rate
+    from stl_decomp_4j_spark.operators.rollup import ohlc_rollup, stats_rollup
+
+    gauge = buckets.select("url", "ts", F.col("cnt").cast("double").alias("value"))
+    sections["counter rate (shared window sort, agg reuses url partitioning)"] = plan_of(
+        counter_rate(gauge)
+    )
+    sections["ohlc rollup (single partial+final hash agg)"] = plan_of(
+        ohlc_rollup(gauge)
+    )
+    sections["stats rollup (moment sums, single hash agg)"] = plan_of(
+        stats_rollup(gauge)
+    )
+
     sections["seasonal strength (single hash agg)"] = plan_of(
         seasonal_strength(dec_stored)
     )
@@ -327,6 +345,24 @@ def main():
         ("outage summary never materializes the dense grid (no sequence explode)",
          "Generate" not in og_plan and "sequence" not in og_plan
          and "EvalPython" not in og_plan)
+    )
+    cr_plan = sections["counter rate (shared window sort, agg reuses url partitioning)"]
+    checks.append(
+        ("counter_rate: windows share one sort; no join, no Python",
+         cr_plan.count(") Window") <= 2 and cr_plan.count(") Sort") <= 2
+         and "Join" not in cr_plan and "EvalPython" not in cr_plan)
+    )
+    oh_plan = sections["ohlc rollup (single partial+final hash agg)"]
+    checks.append(
+        ("ohlc: partial+final hash agg only — no window, no join, no Python",
+         "partial_min_by" in oh_plan.lower() and "Window" not in oh_plan
+         and "Join" not in oh_plan and "EvalPython" not in oh_plan)
+    )
+    sr_plan = sections["stats rollup (moment sums, single hash agg)"]
+    checks.append(
+        ("stats: moment sums in one partial+final hash agg, no window/Python",
+         "partial_sum" in sr_plan and "Window" not in sr_plan
+         and "Join" not in sr_plan and "EvalPython" not in sr_plan)
     )
     for qname in ("q_stl_fit_stats", "q_stl_seasonal_smooth", "q_stl_exogenous"):
         p = sections[f"driver {qname} (pinned grouped-map)"]
