@@ -203,6 +203,28 @@ def q_stats_daily(spark, sf_dir):
     )
 
 
+def q_crawl_sessions(spark, sf_dir):
+    """Gap-based sessionization of the raw crawl stream (gap > 2h starts a
+    new session): per (url, session) start/end/n_events/duration.  Duplicate
+    instants are collapsed before the lag/running-sum windows so boundaries
+    are engine-deterministic; the oracle replays the same windows in
+    DuckDB."""
+    from stl_decomp_4j_spark.operators.sessions import session_summary
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        F.col("event_type").alias("url"), "ts"
+    )
+    out = session_summary(ev, gap_s=7200)
+    return out.select(
+        "url",
+        "session_id",
+        F.date_format("start_ts", TS_FMT).alias("start_ts"),
+        F.date_format("end_ts", TS_FMT).alias("end_ts"),
+        "n_events",
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
 def q_rollup_daily(spark, sf_dir):
     events = spark.read.parquet(_t(sf_dir, "events"))
     return _fmt_ts(
@@ -946,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_rate_daily": q_counter_rate_daily,
         "ohlc_daily": q_ohlc_daily,
         "stats_daily": q_stats_daily,
+        "crawl_sessions": q_crawl_sessions,
         "pctl_daily": q_pctl_daily,
         "rollup_daily": q_rollup_daily,
         "rollup_weekly": q_rollup_weekly,
@@ -1156,6 +1179,26 @@ def oracle_sql() -> dict[str, str]:
                n
         FROM m
     """
+    crawl_sessions = """
+        WITH e AS (SELECT event_type AS url, ts FROM events),
+        d AS (SELECT url, ts AS t, count(*) AS n FROM e GROUP BY 1, 2),
+        l AS (SELECT url, t, n,
+                     epoch(t) - epoch(lag(t) OVER (PARTITION BY url ORDER BY t)) AS gap
+              FROM d),
+        f AS (SELECT url, t, n,
+                     CASE WHEN gap IS NULL OR gap > 7200 THEN 1 ELSE 0 END AS nf
+              FROM l),
+        s AS (SELECT url, t, n,
+                     sum(nf) OVER (PARTITION BY url ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM f)
+        SELECT url, CAST(sid AS BIGINT) AS session_id,
+               strftime(min(t), '%Y-%m-%d %H:%M:%S') AS start_ts,
+               strftime(max(t), '%Y-%m-%d %H:%M:%S') AS end_ts,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               round(epoch(max(t)) - epoch(min(t)), 6) AS duration_s
+        FROM s GROUP BY url, sid
+    """
     return {
         "bucketize_hourly": hourly,
         "gapfill_hourly": gapfill,
@@ -1165,6 +1208,7 @@ def oracle_sql() -> dict[str, str]:
         "counter_rate_daily": counter_rate_daily,
         "ohlc_daily": ohlc_daily,
         "stats_daily": stats_daily,
+        "crawl_sessions": crawl_sessions,
         "pctl_daily": pctl_daily,
         "rollup_daily": (
             "SELECT event_type AS url, strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ts, "

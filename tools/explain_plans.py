@@ -203,6 +203,12 @@ def main():
         stats_rollup(gauge)
     )
 
+    from stl_decomp_4j_spark.operators.sessions import session_summary
+
+    sections["sessionization (collapse + shared window sort + summary agg)"] = plan_of(
+        session_summary(pages.select("url", F.col("warc_ts").alias("ts")))
+    )
+
     sections["seasonal strength (single hash agg)"] = plan_of(
         seasonal_strength(dec_stored)
     )
@@ -363,6 +369,12 @@ def main():
         ("stats: moment sums in one partial+final hash agg, no window/Python",
          "partial_sum" in sr_plan and "Window" not in sr_plan
          and "Join" not in sr_plan and "EvalPython" not in sr_plan)
+    )
+    ss_plan = sections["sessionization (collapse + shared window sort + summary agg)"]
+    checks.append(
+        ("sessionize: lag+running-sum share one sort; no join, no Python",
+         ss_plan.count(") Window") <= 2 and ss_plan.count(") Sort") <= 2
+         and "Join" not in ss_plan and "EvalPython" not in ss_plan)
     )
     for qname in ("q_stl_fit_stats", "q_stl_seasonal_smooth", "q_stl_exogenous"):
         p = sections[f"driver {qname} (pinned grouped-map)"]
