@@ -361,3 +361,59 @@ def test_stats_rollup_perfect_line_and_edge_buckets(spark):
     flat = rows[("b", _ts("2024-01-01 00:00:00"))]
     assert flat["slope_per_s"] == 0.0 and flat["stddev_value"] == 0.0
     assert flat["r2"] is None  # zero y-variance: correlation undefined
+
+
+def test_counter_rate_matches_pandas_reference_property(spark):
+    import numpy as np
+    import pandas as pd
+
+    from stl_decomp_4j_spark.operators.readside import counter_rate
+
+    rng = np.random.default_rng(11)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for k in range(4):
+        t = 0
+        val = float(rng.integers(0, 50))
+        for _ in range(int(rng.integers(2, 120))):
+            rows.append((f"u{k}", base + pd.Timedelta(seconds=t), val))
+            t += int(rng.integers(60, 90000))
+            if rng.random() < 0.15:  # reset: restart low
+                val = float(rng.integers(0, 5))
+            else:
+                val += float(rng.integers(0, 40))
+    pdf = pd.DataFrame(rows, columns=["url", "ts", "value"])
+
+    # independent reference: explicit python loop per url
+    expected = {}
+    for url, g in pdf.groupby("url"):
+        g = g.sort_values("ts")
+        offset, prev, adj, resets = 0.0, None, [], []
+        for v in g["value"]:
+            is_reset = prev is not None and v < prev
+            if is_reset:
+                offset += prev
+            adj.append(v + offset)
+            resets.append(1 if is_reset else 0)
+            prev = v
+        g = g.assign(adj=adj, r=resets, b=g["ts"].dt.floor("D"))
+        for b, gb in g.groupby("b"):
+            span = (gb["ts"].max() - gb["ts"].min()).total_seconds()
+            delta = gb.loc[gb["ts"].idxmax(), "adj"] - gb.loc[gb["ts"].idxmin(), "adj"]
+            expected[(url, b.to_pydatetime())] = (
+                delta,
+                delta / span if span > 0 else None,
+                int(gb["r"].sum()),
+                len(gb),
+            )
+
+    got = counter_rate(spark.createDataFrame(pdf), granularity="day").collect()
+    assert len(got) == len(expected)
+    for r in got:
+        delta, rate, resets, n = expected[(r["url"], r["ts"])]
+        assert r["delta"] == pytest.approx(delta), r
+        if rate is None:
+            assert r["rate_per_s"] is None, r
+        else:
+            assert r["rate_per_s"] == pytest.approx(rate), r
+        assert r["n_resets"] == resets and r["n_points"] == n, r

@@ -73,3 +73,50 @@ def test_session_duplicate_instants_counted_once_for_gaps(spark):
         session_summary(df, gap_s=7200).collect(), key=lambda r: r["session_id"]
     )
     assert [(r["session_id"], r["n_events"]) for r in rows] == [(1, 3), (2, 2)]
+
+
+def test_sessionize_matches_python_reference_property(spark):
+    import numpy as np
+    import pandas as pd
+
+    from stl_decomp_4j_spark.operators.sessions import session_summary
+
+    rng = np.random.default_rng(13)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for k in range(4):
+        t = 0
+        for _ in range(int(rng.integers(1, 150))):
+            rows.append((f"u{k}", base + pd.Timedelta(seconds=t)))
+            if rng.random() < 0.2:  # occasional duplicate instant
+                rows.append((f"u{k}", base + pd.Timedelta(seconds=t)))
+            t += int(rng.integers(1, 20000))
+    pdf = pd.DataFrame(rows, columns=["url", "ts"])
+
+    gap_s = 7200
+    expected = {}
+    for url, g in pdf.groupby("url"):
+        instants = sorted(g["ts"].unique())
+        counts = g.groupby("ts").size()
+        sid, prev = 0, None
+        sessions = {}
+        for t in instants:
+            if prev is None or (t - prev).total_seconds() > gap_s:
+                sid += 1
+                sessions[sid] = []
+            sessions[sid].append(t)
+            prev = t
+        for s, ts_list in sessions.items():
+            expected[(url, s)] = (
+                min(ts_list).to_pydatetime(),
+                max(ts_list).to_pydatetime(),
+                int(sum(counts[t] for t in ts_list)),
+                (max(ts_list) - min(ts_list)).total_seconds(),
+            )
+
+    got = session_summary(spark.createDataFrame(pdf), gap_s=gap_s).collect()
+    assert len(got) == len(expected)
+    for r in got:
+        start, end, n, dur = expected[(r["url"], r["session_id"])]
+        assert (r["start_ts"], r["end_ts"]) == (start, end), r
+        assert r["n_events"] == n and r["duration_s"] == dur, r
