@@ -225,6 +225,43 @@ def q_crawl_sessions(spark, sf_dir):
     )
 
 
+def q_hist_daily(spark, sf_dir):
+    """Fixed-edge histogram of the hourly crawl counts per (url, day) — the
+    heatmap rollup.  Explicit edges [0, 64) x 8 bins, out-of-range clamped
+    into edge bins, sparse rows only.  The oracle recomputes the
+    clamp(floor((v-lo)/w)) binning in SQL."""
+    from stl_decomp_4j_spark.operators.rollup import histogram_rollup
+
+    hourly = _events_hourly(spark, sf_dir).select(
+        "url", "ts", F.col("cnt").cast("double").alias("value")
+    )
+    out = histogram_rollup(hourly, lo=0.0, hi=64.0, bins=8, granularity="day")
+    return _fmt_ts(out).select(
+        "url",
+        "ts",
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        "cnt",
+    )
+
+
+def q_top_urls_daily(spark, sf_dir):
+    """Exact per-day heavy hitters: top-3 urls by event count with a
+    deterministic total order (count desc, url asc).  The rank window sees
+    only the count-reduced (day, url) rows, never raw events.  Oracle:
+    row_number over the same ordering in DuckDB."""
+    from stl_decomp_4j_spark.operators.rollup import top_k_keys
+
+    ev = spark.read.parquet(_t(sf_dir, "events")).select(
+        F.col("event_type").alias("url"), "ts"
+    )
+    out = top_k_keys(ev, k=3, granularity="day")
+    return out.select(
+        F.date_format("ts", TS_FMT).alias("ts"), "rank", "url", "cnt"
+    )
+
+
 def q_rollup_daily(spark, sf_dir):
     events = spark.read.parquet(_t(sf_dir, "events"))
     return _fmt_ts(
@@ -969,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_daily": q_ohlc_daily,
         "stats_daily": q_stats_daily,
         "crawl_sessions": q_crawl_sessions,
+        "hist_daily": q_hist_daily,
+        "top_urls_daily": q_top_urls_daily,
         "pctl_daily": q_pctl_daily,
         "rollup_daily": q_rollup_daily,
         "rollup_weekly": q_rollup_weekly,
@@ -1199,6 +1238,27 @@ def oracle_sql() -> dict[str, str]:
                round(epoch(max(t)) - epoch(min(t)), 6) AS duration_s
         FROM s GROUP BY url, sid
     """
+    hist_daily = f"""
+        WITH hourly AS ({hourly_raw}),
+        v AS (SELECT url, date_trunc('day', ts) AS b,
+                     least(greatest(CAST(floor((CAST(cnt AS DOUBLE) - 0.0) / 8.0)
+                                         AS BIGINT), 0), 7) AS bin
+              FROM hourly)
+        SELECT url, strftime(b, '%Y-%m-%d %H:%M:%S') AS ts, bin,
+               round(CAST(bin * 8.0 AS DOUBLE), 6) AS bin_lo,
+               round(CAST((bin + 1) * 8.0 AS DOUBLE), 6) AS bin_hi,
+               count(*) AS cnt
+        FROM v GROUP BY url, b, bin
+    """
+    top_urls_daily = """
+        WITH e AS (SELECT event_type AS url, date_trunc('day', ts) AS b FROM events),
+        c AS (SELECT url, b, count(*) AS cnt FROM e GROUP BY 1, 2),
+        r AS (SELECT b, url, cnt,
+                     row_number() OVER (PARTITION BY b ORDER BY cnt DESC, url) AS rank
+              FROM c)
+        SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS ts, rank, url, cnt
+        FROM r WHERE rank <= 3
+    """
     return {
         "bucketize_hourly": hourly,
         "gapfill_hourly": gapfill,
@@ -1209,6 +1269,8 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_daily": ohlc_daily,
         "stats_daily": stats_daily,
         "crawl_sessions": crawl_sessions,
+        "hist_daily": hist_daily,
+        "top_urls_daily": top_urls_daily,
         "pctl_daily": pctl_daily,
         "rollup_daily": (
             "SELECT event_type AS url, strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS ts, "

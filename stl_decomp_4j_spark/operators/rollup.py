@@ -184,6 +184,86 @@ def stats_rollup(
     )
 
 
+def histogram_rollup(
+    points: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int = 10,
+    granularity: str = "day",
+    value_col: str = "value",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Fixed-edge histogram per (url, bucket) — the heatmap/distribution
+    rollup (TimescaleDB/Grafana heatmap panels; Prometheus classic-histogram
+    buckets).  Bin edges are EXPLICIT (``lo``/``hi``/``bins``) rather than
+    data-derived: at 100 TB a data-derived range would need an extra global
+    pass and make bins non-comparable across refreshes; fixed edges make the
+    rollup a pure per-row map + one partial+final hash aggregate, and tiles
+    from different runs line up.
+
+    ``bin = clamp(floor((v - lo) / w), 0, bins-1)`` with ``w = (hi-lo)/bins``
+    — out-of-range values clamp into the edge bins (never dropped), and the
+    float arithmetic is a single divide+floor any engine reproduces exactly.
+    Only non-empty bins are emitted (sparse rows, not a dense array column).
+
+    Returns (url, ts, bin, bin_lo, bin_hi, cnt).
+    """
+    if bins < 1 or not hi > lo:
+        raise ValueError(f"need hi > lo and bins >= 1, got [{lo}, {hi}) x {bins}")
+    w = (float(hi) - float(lo)) / int(bins)
+    b = points.withColumn("_b", F.date_trunc(granularity, ts_col))
+    bin_col = F.least(
+        F.greatest(
+            F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(w)),
+            F.lit(0).cast("long"),
+        ),
+        F.lit(int(bins) - 1).cast("long"),
+    )
+    out = (
+        b.withColumn("_bin", bin_col)
+        .groupBy("url", "_b", "_bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return out.select(
+        "url",
+        F.col("_b").alias(ts_col),
+        F.col("_bin").alias("bin"),
+        (F.lit(float(lo)) + F.col("_bin") * F.lit(w)).alias("bin_lo"),
+        (F.lit(float(lo)) + (F.col("_bin") + 1) * F.lit(w)).alias("bin_hi"),
+        "cnt",
+    )
+
+
+def top_k_keys(
+    points: DataFrame,
+    k: int = 3,
+    granularity: str = "day",
+    ts_col: str = "ts",
+    key_col: str = "url",
+) -> DataFrame:
+    """Exact per-bucket heavy hitters: the top-``k`` keys of each time bucket
+    by row count, with a deterministic total order (count desc, then key asc
+    — so any engine produces identical ranks).
+
+    Exact, not a sketch: the per-bucket candidate set is the DISTINCT keys,
+    already reduced by the partial+final count aggregate before the rank
+    window sees it — the window's input is |keys x buckets| rows, not raw
+    events, so a billion-event day with 10^6 urls ranks 10^6 reduced rows.
+
+    Returns (ts, rank, key, cnt); one hash aggregate + one window.
+    """
+    b = points.withColumn("_b", F.date_trunc(granularity, ts_col))
+    counts = b.groupBy("_b", key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("_b").orderBy(F.col("cnt").desc(), F.col(key_col).asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(F.col("_b").alias(ts_col), "rank", key_col, "cnt")
+    )
+
+
 def build_tiers(decomposed: DataFrame) -> dict[str, DataFrame]:
     """1h -> 1d -> 1w continuous aggregates."""
     t1h = hourly_tier(decomposed)

@@ -417,3 +417,51 @@ def test_counter_rate_matches_pandas_reference_property(spark):
         else:
             assert r["rate_per_s"] == pytest.approx(rate), r
         assert r["n_resets"] == resets and r["n_points"] == n, r
+
+
+def test_histogram_rollup_binning_and_clamps(spark):
+    from stl_decomp_4j_spark.operators.rollup import histogram_rollup
+
+    t = _ts("2024-01-01 00:00:00")
+    vals = [0.0, 7.9, 8.0, 63.9, 64.0, 100.0, -5.0]
+    df = spark.createDataFrame(
+        [("a", t + dt.timedelta(minutes=i), v) for i, v in enumerate(vals)],
+        "url string, ts timestamp, value double",
+    )
+    rows = {r["bin"]: r for r in histogram_rollup(df, lo=0.0, hi=64.0, bins=8).collect()}
+    assert rows[0]["cnt"] == 3  # 0.0, 7.9 and the clamped -5.0
+    assert rows[1]["cnt"] == 1  # 8.0 lands in [8, 16)
+    assert rows[7]["cnt"] == 3  # 63.9 plus clamped 64.0 and 100.0
+    assert set(rows) == {0, 1, 7}  # sparse: empty bins not emitted
+    assert (rows[1]["bin_lo"], rows[1]["bin_hi"]) == (8.0, 16.0)
+
+
+def test_histogram_rollup_rejects_bad_edges(spark):
+    from stl_decomp_4j_spark.operators.rollup import histogram_rollup
+
+    df = spark.createDataFrame([], "url string, ts timestamp, value double")
+    with pytest.raises(ValueError, match="hi > lo"):
+        histogram_rollup(df, lo=1.0, hi=1.0, bins=4)
+
+
+def test_top_k_keys_rank_and_tiebreak(spark):
+    from stl_decomp_4j_spark.operators.rollup import top_k_keys
+
+    t = _ts("2024-01-01 00:00:00")
+    rows = (
+        [("a", t + dt.timedelta(minutes=i)) for i in range(5)]
+        + [("b", t + dt.timedelta(minutes=i)) for i in range(5)]  # tie with a
+        + [("c", t + dt.timedelta(minutes=i)) for i in range(2)]
+        + [("d", t)]
+        + [("d", t + dt.timedelta(days=1))]  # next day: only d
+    )
+    df = spark.createDataFrame(rows, "url string, ts timestamp")
+    got = sorted(
+        (r["ts"], r["rank"], r["url"], r["cnt"])
+        for r in top_k_keys(df, k=2, granularity="day").collect()
+    )
+    assert got == [
+        (t, 1, "a", 5),  # tie broken by key asc
+        (t, 2, "b", 5),
+        (t + dt.timedelta(days=1), 1, "d", 1),
+    ]

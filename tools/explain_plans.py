@@ -203,6 +203,15 @@ def main():
         stats_rollup(gauge)
     )
 
+    from stl_decomp_4j_spark.operators.rollup import histogram_rollup, top_k_keys
+
+    sections["histogram rollup (clamped binning, single hash agg)"] = plan_of(
+        histogram_rollup(gauge, lo=0.0, hi=64.0, bins=8)
+    )
+    sections["per-bucket top-k (rank window on count-reduced rows)"] = plan_of(
+        top_k_keys(pages.select("url", F.col("warc_ts").alias("ts")), k=3)
+    )
+
     from stl_decomp_4j_spark.operators.sessions import session_summary
 
     sections["sessionization (collapse + shared window sort + summary agg)"] = plan_of(
@@ -369,6 +378,23 @@ def main():
         ("stats: moment sums in one partial+final hash agg, no window/Python",
          "partial_sum" in sr_plan and "Window" not in sr_plan
          and "Join" not in sr_plan and "EvalPython" not in sr_plan)
+    )
+    hg_plan = sections["histogram rollup (clamped binning, single hash agg)"]
+    checks.append(
+        ("histogram: one partial+final hash agg, no window/join/Python",
+         "partial_count" in hg_plan and "Window" not in hg_plan
+         and "Join" not in hg_plan and "EvalPython" not in hg_plan)
+    )
+    tk_plan = sections["per-bucket top-k (rank window on count-reduced rows)"]
+    checks.append(
+        ("top-k: rank window AFTER the count reduction, no join, no Python",
+         "partial_count" in tk_plan and tk_plan.count(") Window\n") == 1
+         and "Join" not in tk_plan and "EvalPython" not in tk_plan)
+    )
+    checks.append(
+        ("top-k: WindowGroupLimit pushdown prunes to k rows per partition "
+         "BEFORE the bucket exchange",
+         "WindowGroupLimit" in tk_plan and ", Partial" in tk_plan)
     )
     ss_plan = sections["sessionization (collapse + shared window sort + summary agg)"]
     checks.append(
