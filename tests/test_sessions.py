@@ -120,3 +120,60 @@ def test_sessionize_matches_python_reference_property(spark):
         start, end, n, dur = expected[(r["url"], r["session_id"])]
         assert (r["start_ts"], r["end_ts"]) == (start, end), r
         assert r["n_events"] == n and r["duration_s"] == dur, r
+
+
+def test_sessionize_agrees_with_spark_session_window(spark):
+    """Cross-engine validation: session_summary's grouping must equal
+    Spark's built-in session_window aggregation — including the boundary
+    case (a gap of exactly gap_s stays inside the session in BOTH: Spark
+    merges adjacent windows, matching this engine's strict-> rule)."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from stl_decomp_4j_spark.operators.sessions import session_summary
+
+    rng = np.random.default_rng(17)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for k in range(3):
+        t = 0
+        for _ in range(80):
+            rows.append((f"u{k}", base + pd.Timedelta(seconds=t)))
+            # gaps of 1..599s (inside) or 601..1200s (outside); never 600
+            t += int(rng.integers(1, 600)) + (601 if rng.random() < 0.25 else 0)
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["url", "ts"]))
+
+    ours = sorted(
+        (r["url"], r["start_ts"], r["end_ts"], r["n_events"])
+        for r in session_summary(df, gap_s=600).collect()
+    )
+    builtin = sorted(
+        (r["url"], r["w"]["start"], r["e"], r["n"])
+        for r in df.groupBy("url", F.session_window("ts", "600 seconds").alias("w"))
+        .agg(F.max("ts").alias("e"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # session_window.start == first event ts; end_ts == max(ts) within it
+    assert ours == builtin
+
+    # boundary: gap == exactly gap_s stays one session in both engines
+    edge = spark.createDataFrame(
+        [("a", base.to_pydatetime()), ("a", (base + pd.Timedelta(seconds=600)).to_pydatetime())],
+        "url string, ts timestamp",
+    )
+    assert session_summary(edge, gap_s=600).count() == 1
+    assert (
+        edge.groupBy("url", F.session_window("ts", "600 seconds")).count().count()
+        == 1
+    )
+    # ...and gap_s + 1s splits in both
+    edge2 = spark.createDataFrame(
+        [("a", base.to_pydatetime()), ("a", (base + pd.Timedelta(seconds=601)).to_pydatetime())],
+        "url string, ts timestamp",
+    )
+    assert session_summary(edge2, gap_s=600).count() == 2
+    assert (
+        edge2.groupBy("url", F.session_window("ts", "600 seconds")).count().count()
+        == 2
+    )
