@@ -179,6 +179,21 @@ def q_ohlc_daily(spark, sf_dir):
     return _fmt_ts(out).select("url", "ts", "open", "high", "low", "close", "cnt")
 
 
+def q_ohlc_weekly(spark, sf_dir):
+    """Weekly OHLC derived tier-from-tier (daily candles -> weekly candles,
+    never re-reading raw data).  The oracle computes weekly OHLC DIRECTLY
+    from the hourly series in SQL — hash equality proves the composition is
+    exact (open/close are boundary samples of disjoint ordered slices)."""
+    from stl_decomp_4j_spark.operators.rollup import ohlc_from_tier, ohlc_rollup
+
+    hourly = _events_hourly(spark, sf_dir).select(
+        "url", "ts", F.col("cnt").cast("double").alias("value")
+    )
+    daily = ohlc_rollup(hourly, granularity="day")
+    out = ohlc_from_tier(daily, granularity="week")
+    return _fmt_ts(out).select("url", "ts", "open", "high", "low", "close", "cnt")
+
+
 def q_stats_daily(spark, sf_dir):
     """Per-(url, day) descriptive + linear-trend stats (TimescaleDB
     stats_agg 2D): mean/sample-stddev of the hourly counts plus OLS
@@ -1004,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twa_daily": q_twa_daily,
         "counter_rate_daily": q_counter_rate_daily,
         "ohlc_daily": q_ohlc_daily,
+        "ohlc_weekly": q_ohlc_weekly,
         "stats_daily": q_stats_daily,
         "crawl_sessions": q_crawl_sessions,
         "hist_daily": q_hist_daily,
@@ -1267,6 +1283,16 @@ def oracle_sql() -> dict[str, str]:
         "twa_daily": twa_daily,
         "counter_rate_daily": counter_rate_daily,
         "ohlc_daily": ohlc_daily,
+        "ohlc_weekly": f"""
+        WITH hourly AS ({hourly_raw})
+        SELECT url, strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S') AS ts,
+               arg_min(CAST(cnt AS DOUBLE), ts) AS open,
+               max(CAST(cnt AS DOUBLE)) AS high,
+               min(CAST(cnt AS DOUBLE)) AS low,
+               arg_max(CAST(cnt AS DOUBLE), ts) AS close,
+               count(*) AS cnt
+        FROM hourly GROUP BY url, date_trunc('week', ts)
+    """,
         "stats_daily": stats_daily,
         "crawl_sessions": crawl_sessions,
         "hist_daily": hist_daily,

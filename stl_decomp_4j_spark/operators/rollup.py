@@ -121,6 +121,35 @@ def ohlc_rollup(
     )
 
 
+def ohlc_from_tier(
+    ohlc_tier: DataFrame,
+    granularity: str = "week",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Derive a coarser OHLC tier from a finer one — exactly, never touching
+    raw data (the continuous-aggregate property the sum/min/max tiers rely
+    on, extended to candlesticks): open = open of the earliest fine bucket,
+    close = close of the latest, high/low = extrema of extrema, cnt = sum.
+    The coarse shuffle reads the fine tier's already-reduced rows, so a
+    weekly candle over a billion-event week aggregates 7 rows.
+
+    Composition is exact because each fine bucket's open/close are
+    themselves the boundary samples of a disjoint, totally-ordered time
+    slice (`ohlc_weekly` oracle proves tier-from-tier == from-raw).
+    """
+    b = ohlc_tier.withColumn("_b", F.date_trunc(granularity, ts_col))
+    out = b.groupBy("url", "_b").agg(
+        F.min_by("open", ts_col).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by("close", ts_col).alias("close"),
+        F.sum("cnt").alias("cnt"),
+    )
+    return out.withColumnRenamed("_b", ts_col).select(
+        "url", ts_col, "open", "high", "low", "close", "cnt"
+    )
+
+
 def stats_rollup(
     points: DataFrame,
     granularity: str = "day",

@@ -465,3 +465,31 @@ def test_top_k_keys_rank_and_tiebreak(spark):
         (t, 2, "b", 5),
         (t + dt.timedelta(days=1), 1, "d", 1),
     ]
+
+
+def test_ohlc_from_tier_equals_from_raw(spark):
+    import numpy as np
+    import pandas as pd
+
+    from stl_decomp_4j_spark.operators.rollup import ohlc_from_tier, ohlc_rollup
+
+    rng = np.random.default_rng(19)
+    base = pd.Timestamp("2024-01-01")
+    rows = [
+        (f"u{k}", (base + pd.Timedelta(hours=int(h))).to_pydatetime(),
+         float(rng.integers(0, 100)))
+        for k in range(3)
+        for h in rng.choice(24 * 28, size=200, replace=False)
+    ]
+    df = spark.createDataFrame(rows, "url string, ts timestamp, value double")
+    direct = {
+        (r["url"], r["ts"]): (r["open"], r["high"], r["low"], r["close"], r["cnt"])
+        for r in ohlc_rollup(df, granularity="week").collect()
+    }
+    composed = {
+        (r["url"], r["ts"]): (r["open"], r["high"], r["low"], r["close"], r["cnt"])
+        for r in ohlc_from_tier(
+            ohlc_rollup(df, granularity="day"), granularity="week"
+        ).collect()
+    }
+    assert composed == direct
