@@ -79,10 +79,18 @@ def q_asof_serving(spark, sf_dir):
         (F.date_trunc("day", F.min("ts")) + F.expr("INTERVAL 1 DAY")).alias("d0"),
         F.date_trunc("day", F.max("ts")).alias("d1"),
     )
-    probes = bounds.select(
-        "url",
-        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("ts"),
-    ).select("url", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"))
+    # a url whose events all land in one calendar day yields d0 > d1, where
+    # Spark's sequence(positive step) throws but generate_series returns
+    # empty — filter the empty ranges out BEFORE the explode (the oracle
+    # mirrors the filter, where it is a no-op).
+    probes = (
+        bounds.filter(F.col("d0") <= F.col("d1"))
+        .select(
+            "url",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("ts"),
+        )
+        .select("url", (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts"))
+    )
     out = asof_join(probes, data, tolerance_s=7200)
     return out.select(
         "url",
@@ -400,6 +408,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup_minhash_lsh(spark.read.parquet(_t(sf_dir, "documents")), threshold=0.5)
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Cross-document repeated-span extents (hashed 5-gram span index +
+    per-doc island merge; operators/dedup.py duplicate_spans).  The oracle
+    recomputes gram positions, cross-doc grams and the interval merge on the
+    gram STRINGS in SQL — they match iff the hashed span index loses nothing
+    (modulo ~2^-64 xxhash64 gram collisions)."""
+    from stl_decomp_4j_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(spark.read.parquet(_t(sf_dir, "documents")), k=5)
+
+
 def q_dedup_components(spark, sf_dir):
     """Transitive near-dup groups: minhash-LSH pairs -> alternating
     large-star/small-star connected components -> one row per document with
@@ -422,20 +441,13 @@ def q_dedup_components(spark, sf_dir):
 
 
 def q_embedding_near_dup_bf(spark, sf_dir):
-    from stl_decomp_4j_spark.operators.similarity import pair_cosine_udf
+    """Exact all-pairs baseline for the LSH near-dup path — intentionally
+    O(n^2), guarded by all_pairs_cosine's max_rows cap so the quadratic plan
+    can never be pointed at a large table by accident."""
+    from stl_decomp_4j_spark.operators.similarity import all_pairs_cosine
 
-    emb = spark.read.parquet(_t(sf_dir, "embeddings")).select("vec_id", F.col("embedding").alias("v"))
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.crossJoin(b).filter(F.col("a.vec_id") < F.col("b.vec_id"))
-    cos = pair_cosine_udf()
-    return (
-        pairs.select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(cos(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
-        )
-        .filter(F.col("cos") >= 0.5)
-    )
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    return all_pairs_cosine(emb, threshold=0.5)
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1037,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_word_set": q_dedup_word_set,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_spans": q_dedup_spans,
         "dedup_components": q_dedup_components,
         "embedding_near_dup_bf": q_embedding_near_dup_bf,
         "ann_topk": q_ann_topk,
@@ -1133,7 +1146,7 @@ def oracle_sql() -> dict[str, str]:
                      date_trunc('day', max(ts)) AS d1
               FROM events GROUP BY 1),
         p AS (SELECT url, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) + INTERVAL 30 MINUTE AS ts
-              FROM r),
+              FROM r WHERE d0 <= d1),
         j AS (SELECT p.url, p.ts, h.ts AS mt, h.cnt
               FROM p ASOF LEFT JOIN hourly h ON p.url = h.url AND p.ts >= h.ts)
         SELECT url, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
@@ -1397,6 +1410,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, min(label) AS component,
                    min(label) = node AS is_canonical
             FROM reach GROUP BY node
+        """,
+        "dedup_spans": r"""
+            WITH w AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS words
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest([array_to_string(words[i:i+4], ' ')
+                                 FOR i IN range(1, len(words) - 3)]) AS gram,
+                         unnest(range(1, len(words) - 3)) AS pos
+                  FROM w WHERE len(words) >= 5),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+            d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            b AS (SELECT doc_id, pos,
+                         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+                              THEN 0 ELSE 1 END AS brk
+                  FROM d),
+            isl AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                    FROM b)
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 4 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_words,
+                   count(*) AS n_grams
+            FROM isl GROUP BY doc_id, island
         """,
         "dedup_minhash_lsh": f"""
             WITH sh AS ({shingles})

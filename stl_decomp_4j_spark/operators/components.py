@@ -97,9 +97,16 @@ def connected_components(
         return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     prev = _fingerprint(edges)
     for _ in range(max_rounds):
+        prev_edges = edges
         edges = _small_star(_large_star(edges)).localCheckpoint()
         cur = _fingerprint(edges)
-        if cur == prev:
+        # the fingerprint is a (count, xor-of-xxhash64) pair, so a match could
+        # in principle (p ~ 2^-64) be a collision: confirm the fixpoint with
+        # one exact set comparison — counts are equal (part of the
+        # fingerprint) and both sides are distinct sets, so a one-sided
+        # exceptAll emptiness check proves equality.  Runs once, on the
+        # terminating round only.
+        if cur == prev and edges.exceptAll(prev_edges).isEmpty():
             # fixpoint: every edge is (node, component-min); nodes that ARE
             # the minimum appear only on the right-hand side
             labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))

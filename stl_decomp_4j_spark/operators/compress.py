@@ -389,6 +389,7 @@ def compact_store(
     out_root: str,
     tiers: tuple[str, ...] = ("1h", "1d", "1w"),
     chunk_points: int = 4096,
+    or_chain_limit: int = 1000,
 ) -> dict[str, dict]:
     """Store-level compaction job: rewrite exactly the (bucket, slab)
     partitions of each Gorilla table that contain fragmented chunk groups,
@@ -436,13 +437,27 @@ def compact_store(
         if not frag_parts:
             summary[f"gorilla_{tier}"] = {"partitions": 0}
             continue
-        # explicit OR of partition-column equalities: prunes the scan to the
-        # fragmented partitions (an isin over concat'd columns would not)
-        cond = None
-        for b, s in frag_parts:
-            c = (F.col("bucket") == b) & (F.col("slab") == s)
-            cond = c if cond is None else (cond | c)
-        subset = df.filter(cond)
+        # small lists: explicit OR of partition-column equalities statically
+        # prunes the scan to the fragmented partitions (an isin over concat'd
+        # columns would not).  Past ~10^3 partitions the OR-chain blows up
+        # Catalyst (quadratic analysis + a megabyte predicate), so switch to
+        # a broadcast semi-join on the fragmented-partition list — same rows,
+        # runtime-filtered instead of statically pruned.
+        if len(frag_parts) <= or_chain_limit:
+            cond = None
+            for b, s in frag_parts:
+                c = (F.col("bucket") == b) & (F.col("slab") == s)
+                cond = c if cond is None else (cond | c)
+
+            def _subset(d, cond=cond):
+                return d.filter(cond)
+        else:
+            frag_df = spark.createDataFrame(frag_parts, ["bucket", "slab"])
+
+            def _subset(d, frag_df=frag_df):
+                return d.join(F.broadcast(frag_df), ["bucket", "slab"], "left_semi")
+
+        subset = _subset(df)
         before = {
             (r["bucket"], r["slab"]): r["count"]
             for r in subset.groupBy("bucket", "slab").count().collect()
@@ -455,8 +470,7 @@ def compact_store(
         )
         after = {
             (r["bucket"], r["slab"]): r["count"]
-            for r in spark.read.parquet(root)
-            .filter(cond)
+            for r in _subset(spark.read.parquet(root))
             .groupBy("bucket", "slab")
             .count()
             .collect()

@@ -65,10 +65,13 @@ def _spread(docs: DataFrame, id_col: str) -> DataFrame:
     return docs.repartition(par, F.col(id_col))
 
 
-def shingle_hash_rows(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+def shingle_hash_rows(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3, with_pos: bool = False
+) -> DataFrame:
     """(doc_id, h: long) — one row per word-k-gram occurrence (NOT deduped;
     collect_set / min-aggregation downstream dedup as needed), each k-gram
-    string-hashed ONCE with xxhash64.
+    string-hashed ONCE with xxhash64.  ``with_pos=True`` adds the gram's
+    1-based word position (``pos``) for span-level consumers.
 
     Built entirely from codegen operators: posexplode the split words, then
     window lead(w, 1..k-1) per doc reassembles the k-grams.  The previous
@@ -91,12 +94,17 @@ def shingle_hash_rows(docs: DataFrame, text_col: str = "text", id_col: str = "do
     pos = words.select("doc_id", F.posexplode("__words").alias("pos", "w0"))
     win = Window.partitionBy("doc_id").orderBy("pos")
     grams = pos.select(
-        "doc_id", "w0", *[F.lead("w0", j).over(win).alias(f"w{j}") for j in range(1, k)]
+        "doc_id", "pos", "w0", *[F.lead("w0", j).over(win).alias(f"w{j}") for j in range(1, k)]
     )
     if k > 1:
         grams = grams.filter(F.col(f"w{k - 1}").isNotNull())
     gram = F.concat_ws(" ", *[f"w{j}" for j in range(k)])
-    return grams.select("doc_id", F.xxhash64(gram).alias("h"))
+    out_cols = ["doc_id"]
+    if with_pos:
+        # 1-based word position of the gram's first word
+        grams = grams.withColumn("pos", F.col("pos") + F.lit(1))
+        out_cols.append("pos")
+    return grams.select(*out_cols, F.xxhash64(gram).alias("h"))
 
 
 def minhash_signatures_from_hashes(hashed: DataFrame, num_perm: int = 64) -> DataFrame:
@@ -117,8 +125,29 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 64, k: int = 3) -> DataF
     return minhash_signatures_from_hashes(shingle_hash_rows(docs, k=k), num_perm)
 
 
-def lsh_candidate_pairs(signed: DataFrame, bands: int = 32, rows_per_band: int = 2) -> DataFrame:
-    """Band the signatures and self-join on (band, band-hash)."""
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band-hash).
+
+    ``max_bucket`` is the adversarial-skew valve: a band bucket holding n
+    docs emits O(n^2) candidate pairs, so one degenerate bucket (boilerplate
+    corpora, bot-generated near-identical pages) can dominate the whole job
+    — at 10^12 docs a single 10^5-doc bucket is 5e9 pairs before distinct.
+    With ``max_bucket`` set, buckets larger than the cap are DROPPED before
+    the self-join (the bucket-size count is a window over the same
+    (band, bh) partitioning the join shuffles on anyway, so it adds no
+    exchange).  Recall cost is explicit and tiny: a true near-dup pair is
+    lost only if EVERY band it collides on is degenerate — and a bucket past
+    any sane cap (10^3-10^4) is near-identical text that exact/word-set
+    dedup already collapses upstream.  Moderately hot buckets below the cap
+    are AQE skew-join territory (the session enables skewJoin).  Default
+    None preserves exhaustive semantics for oracle-checked runs."""
+    from pyspark.sql import Window
+
     banded = signed.select(
         "doc_id",
         F.explode(
@@ -133,6 +162,13 @@ def lsh_candidate_pairs(signed: DataFrame, bands: int = 32, rows_per_band: int =
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bh"])
@@ -153,12 +189,15 @@ def dedup_minhash_lsh(
     threshold: float = 0.6,
     eager_cache: bool = False,
     cache_handle: list | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard >= threshold, candidates from
     minhash LSH.  Output: (id_a, id_b, jaccard) with jaccard rounded to 6dp.
 
     Miss probability per true pair at J: (1 - J^rows_per_band)^bands — with
-    the defaults (2x32) at J=0.6 that is ~6e-7.
+    the defaults (2x32) at J=0.6 that is ~6e-7.  ``max_bucket`` drops
+    degenerate band buckets before the self-join (see lsh_candidate_pairs)
+    — the disclosed skew valve for boilerplate-heavy corpora.
 
     The per-doc shingle-hash-set table is persisted (it feeds three
     consumers); pass ``cache_handle=[]`` to receive the persisted DataFrame
@@ -193,7 +232,7 @@ def dedup_minhash_lsh(
     signed = minhash_signatures_from_hashes(
         sets_.select("doc_id", F.explode("sh").alias("h")), num_perm
     )
-    cands = lsh_candidate_pairs(signed, bands, rows_per_band)
+    cands = lsh_candidate_pairs(signed, bands, rows_per_band, max_bucket=max_bucket)
     # exact verify on int64 shingle-hash sets: Jaccard on hashes is identical
     # to Jaccard on strings modulo 64-bit collisions (odds ~ shingles^2/2^64
     # per doc pair), and the verify join ships 8 bytes per shingle instead of
@@ -207,6 +246,68 @@ def dedup_minhash_lsh(
     return (
         pairs.select("id_a", "id_b", F.round(inter / union, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Cross-document repeated-span (substring-level) dedup: for each doc,
+    the maximal word extents covered by k-grams that also occur in at least
+    one OTHER document.  This is the span-removal companion to the
+    document-level dedup suite — production training-data pipelines run it
+    alongside MinHash/SimHash to strip boilerplate and quoted spans that
+    document-level dedup can't see.
+
+    Output: (doc_id, span_start, span_end, span_words, n_grams), positions
+    1-based inclusive.  Two duplicated k-grams at positions p1 < p2 merge
+    into one extent iff p2 <= p1 + k (their word coverage overlaps or is
+    adjacent, so every word in [p1, p2+k-1] is covered by some duplicated
+    gram).
+
+    Scale shape — an indexed span pipeline, never all-pairs: (1) gram
+    occurrences with positions from the shingle window (ships single words,
+    then 8-byte hashes); (2) one hash aggregate by gram hash finds grams
+    spanning >= 2 distinct docs (min(doc)!=max(doc) — no countDistinct);
+    (3) a semi-join by hash keeps duplicated occurrences; (4) island-merge
+    per doc is two windows + a hash aggregate, all on the same doc_id
+    partitioning (one exchange).  Cost is linear in corpus grams + output
+    linear in duplicated text volume.  64-bit gram-hash collisions can merge
+    unrelated grams with odds ~ grams^2/2^64 — the same disclosed trade as
+    the MinHash verify join.
+    """
+    from pyspark.sql import Window
+
+    grams = shingle_hash_rows(docs, text_col, id_col, k, with_pos=True)
+    cross_doc = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("h")
+    )
+    dup = grams.join(cross_doc, "h", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(F.lit(1)).alias("_brk"),
+    )
+    run = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    islands = flagged.select("doc_id", "pos", F.sum("_brk").over(run).alias("_island"))
+    return (
+        islands.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_words"),
+            "n_grams",
+        )
     )
 
 

@@ -101,10 +101,12 @@ def gapfill_linear(
         F.first("_obs", ignorenulls=True).over(fwd).alias("_nv"),
         F.first(obs_ts, ignorenulls=True).over(fwd).alias("_nt"),
     )
-    frac = (
-        (F.unix_timestamp("ts") - F.unix_timestamp("_pt")).cast("double")
-        / (F.unix_timestamp("_nt") - F.unix_timestamp("_pt")).cast("double")
-    )
+    # NTZ-safe microsecond epochs (same cast-hop convention as readside.py):
+    # unix_timestamp would truncate to seconds and diverge on sub-second grids.
+    def _epoch(c):
+        return F.col(c).cast("timestamp").cast("double")
+
+    frac = (_epoch("ts") - _epoch("_pt")) / (_epoch("_nt") - _epoch("_pt"))
     interp = F.col("_pv") + (F.col("_nv") - F.col("_pv")) * frac
     return carried.select(
         "url",

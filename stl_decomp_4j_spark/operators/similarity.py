@@ -96,6 +96,38 @@ def brute_force_topk(
     return _ranked_topk(scored, k)
 
 
+def all_pairs_cosine(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 50_000,
+) -> DataFrame:
+    """Exact all-pairs cosine pairs >= threshold — a cartesian product,
+    O(n^2) BY CONSTRUCTION.  This exists only as the exact baseline/oracle
+    twin of the LSH path (embedding_near_dup_pairs); it must never be the
+    scale path, so it refuses inputs larger than ``max_rows`` (one bounded
+    metadata count) instead of silently launching an n^2 job on a large
+    table.  Raise ``max_rows`` explicitly only when a quadratic exact
+    baseline is genuinely intended."""
+    n = embeddings.count()
+    if n > max_rows:
+        raise ValueError(
+            f"all_pairs_cosine is a cartesian product (O(n^2)): refusing {n} rows"
+            f" > max_rows={max_rows}; use the LSH path (embedding_near_dup_pairs)"
+            " at scale, or pass a larger max_rows explicitly."
+        )
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cos = pair_cosine_udf()
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos(F.col("_va"), F.col("_vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -68,14 +68,20 @@ def refresh_tier_partitions(
         .agg(*_tier_aggs())
         .withColumn("ts", F.col("day"))
     )
-    n = tier.count()
-    (
-        tier.select("url", "ts", "sum_cnt", "min_cnt", "max_cnt", "n_buckets", "day")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("day")
-        .parquet(tier_path)
-    )
+    # persist before count+write: otherwise the buckets scan + aggregation
+    # run twice per micro-batch (once for the row count, once for the sink)
+    tier = tier.persist()
+    try:
+        n = tier.count()
+        (
+            tier.select("url", "ts", "sum_cnt", "min_cnt", "max_cnt", "n_buckets", "day")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("day")
+            .parquet(tier_path)
+        )
+    finally:
+        tier.unpersist()
     return n
 
 

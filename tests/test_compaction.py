@@ -104,10 +104,17 @@ def test_compact_chunks_rejects_overlapping_runs(spark):
         compact_chunks(dup, chunk_points=4096).collect()
 
 
-def test_compact_store_end_to_end(spark, tmp_path):
+@pytest.mark.parametrize("or_chain_limit", [1000, 0])
+def test_compact_store_end_to_end(spark, tmp_path, or_chain_limit):
     """Pipeline store -> artificially fragmented gorilla_1d -> compact_store
     rewrites only fragmented partitions, preserves decoded bytes, records
-    lineage, keeps slab alignment, and a second pass finds nothing."""
+    lineage, keeps slab alignment, and a second pass finds nothing.
+
+    Parametrized over both fragmented-subset strategies: the static OR-chain
+    (small lists) and the broadcast semi-join engaged past or_chain_limit
+    (or_chain_limit=0 forces it) — the scale path for stores with 10^3+
+    fragmented partitions, where a driver-built OR predicate would blow up
+    Catalyst."""
     out = str(tmp_path / "rollup")
     pages = generate_pages(spark, n_urls=4, days=40, events_per_url=200)
     run_pipeline(spark, pages, out, PipelineConfig(n_buckets=2, compress=True))
@@ -135,7 +142,9 @@ def test_compact_store_end_to_end(spark, tmp_path):
     assert frag_count > len(baseline_rows.groupby(["url", "column"]))
     pd.testing.assert_frame_equal(_decoded(spark.read.parquet(root)), baseline_rows)
 
-    summary = compact_store(spark, out, tiers=("1d",), chunk_points=4096)
+    summary = compact_store(
+        spark, out, tiers=("1d",), chunk_points=4096, or_chain_limit=or_chain_limit
+    )
     s = summary["gorilla_1d"]
     assert s["partitions"] > 0
     assert s["chunks_after"] < s["chunks_before"] == frag_count

@@ -215,3 +215,94 @@ def test_ann_ivf_recall_and_exact_scores(spark, embeddings):
     truth = all_scored.set_index("vec_id")["cos"]
     for r in approx.itertuples():
         assert abs(truth[r.vec_id] - r.cos) < 1e-9
+
+
+def test_duplicate_spans_planted(spark):
+    """Exact extents on a corpus with hand-computed shared spans (k=5)."""
+    from stl_decomp_4j_spark.operators.dedup import duplicate_spans
+
+    rows = [
+        # docs 1 and 2 share 'a b c d e f' -> doc1 span [1,6], doc2 span [3,8]
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e f q"),
+        # doc 3 shares that span AND a separated second span with doc 4 ->
+        # two islands in doc 3 (gap of >1 uncovered word between them)
+        (3, "a b c d e f GAP1 GAP2 GAP3 GAP4 GAP5 GAP6 p q r s t u"),
+        (4, "zz p q r s t u ww"),
+        # doc 5 has no cross-document 5-gram
+        (5, "only unique words appear in this document body here"),
+        # doc 6 too short for a 5-gram
+        (6, "tiny doc"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_spans(docs, k=5).orderBy("doc_id", "span_start").toPandas()
+    got = [tuple(r) for r in out[["doc_id", "span_start", "span_end", "span_words", "n_grams"]].to_numpy()]
+    assert got == [
+        (1, 1, 6, 6, 2),
+        (2, 3, 8, 6, 2),
+        (3, 1, 6, 6, 2),       # 'a b c d e f' at head (lowercased match)
+        (3, 13, 18, 6, 2),     # 'p q r s t u' island, separated by the GAP words
+        (4, 2, 7, 6, 2),
+    ]
+
+
+def test_duplicate_spans_adjacent_grams_merge(spark):
+    """Grams exactly k apart (adjacent coverage, no overlap) merge into one
+    extent; k+1 apart (one uncovered word) split into two."""
+    from stl_decomp_4j_spark.operators.dedup import duplicate_spans
+
+    # shared 4-word runs: 'c1 c2 c3 c4' and 'd1 d2 d3 d4' (k=2 grams)
+    rows = [
+        (1, "c1 c2 c3 c4 u1 d1 d2 d3 d4"),   # gap word u1 -> two islands
+        (2, "c1 c2 c3 c4 d1 d2 d3 d4 v9"),   # adjacent -> one island
+        (3, "c1 c2 c3 c4 w8 w9 d1 d2 d3 d4"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = duplicate_spans(docs, k=2).orderBy("doc_id", "span_start").toPandas()
+    spans = {(r.doc_id, r.span_start, r.span_end) for r in out.itertuples()}
+    assert (1, 1, 4) in spans and (1, 6, 9) in spans        # split
+    assert (2, 1, 8) in spans                               # merged
+    assert (3, 1, 4) in spans and (3, 7, 10) in spans
+
+
+def test_lsh_hot_bucket_cap_bounds_degenerate_buckets(spark):
+    """Adversarial skew: 100k near-identical docs collapse into ONE band
+    bucket per band (an uncapped self-join would emit 32 * 100k^2/2 = 1.6e11
+    candidate rows — the named 100-TB hot spot).  With max_bucket set, every
+    join-side bucket is bounded at the cap, the job completes in seconds,
+    and the genuine (non-degenerate) near-dup pairs still come out exactly."""
+    from stl_decomp_4j_spark.operators.dedup import dedup_minhash_lsh
+
+    hot = spark.range(100_000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("the same boilerplate footer text repeated on every single page").alias("text"),
+    )
+    planted = []
+    for i in range(10):
+        base = " ".join(f"w{i}x{j}" for j in range(12))
+        planted.append((2_000_000 + 2 * i, base))
+        planted.append((2_000_000 + 2 * i + 1, base + f" tail{i}"))
+    good = spark.createDataFrame(planted, ["doc_id", "text"])
+    docs = hot.unionByName(good)
+
+    handle = []
+    got = dedup_minhash_lsh(docs, threshold=0.6, max_bucket=1000, cache_handle=handle)
+    pairs = set(map(tuple, got.select("id_a", "id_b").toPandas().to_numpy()))
+    for h in handle:
+        h.unpersist()
+    want = {(2_000_000 + 2 * i, 2_000_000 + 2 * i + 1) for i in range(10)}
+    assert pairs == want
+
+
+def test_all_pairs_cosine_guard_refuses_large_input(spark):
+    from stl_decomp_4j_spark.operators.similarity import all_pairs_cosine
+
+    emb = spark.range(101).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.col("id").cast("double"), F.lit(1.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="cartesian"):
+        all_pairs_cosine(emb, max_rows=100)
+    # under the cap it runs
+    small = emb.filter(F.col("vec_id") < 20)
+    assert all_pairs_cosine(small, threshold=0.999, max_rows=100).count() >= 0
