@@ -571,6 +571,39 @@ def q_gorilla_range_read(spark, sf_dir):
     )
 
 
+def gorilla_range_read_setup(spark, sf_dir, store_dir):
+    """Bench helper (not a driver query): materialize the chunk store that
+    q_gorilla_range_read builds inline, so bench.py can time store-build
+    (setup, once) separately from the pruned read (the number that matters
+    — a store is written once and range-read many times).  Returns the probe
+    (url, ts_min, ts_max)."""
+    import datetime as dt
+
+    from stl_decomp_4j_spark.operators.compress import compress_tier
+
+    series = _events_gapfilled(spark, sf_dir)
+    chunks = compress_tier(series.select("url", "ts", "value"), columns=["value"], chunk_points=168)
+    chunks.write.mode("overwrite").parquet(store_dir)
+    url0 = series.select("url").orderBy("url").first()["url"]
+    t0 = series.agg(F.min("ts").alias("t0")).collect()[0]["t0"]
+    return url0, t0 + dt.timedelta(days=10), t0 + dt.timedelta(days=15)
+
+
+def gorilla_range_read_from_store(spark, store_dir, url0, ts_min, ts_max):
+    """Bench helper: the pruned range read against a materialized parquet
+    chunk store — url/t0/t1 predicates reach the parquet scan as
+    PushedFilters, chunks outside the window are never decoded."""
+    from stl_decomp_4j_spark.operators.compress import read_range
+
+    chunks = spark.read.parquet(store_dir)
+    out = read_range(chunks, urls=[url0], ts_min=ts_min, ts_max=ts_max)
+    return out.select(
+        "url",
+        F.date_format(F.timestamp_millis(F.col("ts_ms")), TS_FMT).alias("ts"),
+        "value",
+    )
+
+
 def q_gorilla_compact(spark, sf_dir):
     """Fragmented Gorilla store (encoded at chunk_points=24) compacted back
     to maximally-filled chunks at chunk_points=96 (operators/compress.py

@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-container): ``decode_image`` raises NotImplementedError unless
-``fake=True``, in which case a deterministic fake decoder (content-hash ->
-synthetic dimensions/features) exercises the full Spark plumbing — schema,
-batch shape, partitioning — which is the part that matters for the engine.
+Decode is behind an optional-dependency probe: with Pillow importable on
+the workers, ``fake=False`` decodes real image payloads (PNG/JPEG/...) —
+dimensions, frame count, banded gray-intensity features, LANCZOS resize.
+Without it (this container), ``fake=False`` raises NotImplementedError and
+``fake=True`` runs a deterministic fake decoder (content-hash -> synthetic
+dimensions/features) that exercises the identical Spark plumbing — schema,
+batch shape, partitioning.  Real audio/video decode stays out of scope
+(no librosa/av anywhere); those kinds are image-filtered on the real path.
 """
 from __future__ import annotations
 
@@ -63,6 +66,18 @@ def attach_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def _pil_image():
+    """Optional-dependency probe: PIL.Image if Pillow is importable, else
+    None.  Called lazily inside UDFs too, so the probe reflects the WORKER
+    environment, not just the driver."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer, vectorized over uint64 — a deterministic batch
     stand-in for per-item RNG seeding."""
@@ -98,13 +113,50 @@ def _fake_decode_batch(payloads, kinds: np.ndarray, n_features: int):
 
 def extract_features(media: DataFrame, n_features: int = 8, fake: bool = True) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches; the
-    batch-vectorized shape is what a real decoder harness would use)."""
-    if not fake:
-        raise NotImplementedError(
-            "real image/audio decode requires pillow/librosa etc., not available in this container"
-        )
+    batch-vectorized shape is what a real decoder harness would use).
 
+    ``fake=False`` decodes real image payloads with Pillow when importable
+    (dimensions, n_frames, per-vertical-band mean gray intensity as the
+    feature vector) — image rows only; audio/video real decode is out of
+    scope.  Raises NotImplementedError when Pillow is absent."""
     cols = [f.name for f in FEATURES_SCHEMA.fields]
+
+    if not fake:
+        if _pil_image() is None:
+            raise NotImplementedError(
+                "real image decode requires Pillow, not available in this container "
+                "(audio/video real decode is out of scope regardless)"
+            )
+
+        def real_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            Image = _pil_image()
+            for pdf in batches:
+                if not len(pdf):
+                    yield pd.DataFrame(columns=cols)
+                    continue
+                widths, heights, frames, feats = [], [], [], []
+                for p in pdf["payload"]:
+                    with Image.open(io.BytesIO(bytes(p))) as im:
+                        widths.append(int(im.size[0]))
+                        heights.append(int(im.size[1]))
+                        frames.append(int(getattr(im, "n_frames", 1)))
+                        gray = np.asarray(im.convert("L"), dtype=np.float64) / 255.0
+                    bands = np.array_split(gray, n_features, axis=1)
+                    feats.append([float(b.mean()) if b.size else 0.0 for b in bands])
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].to_numpy(),
+                        "kind": pdf["kind"].to_numpy(),
+                        "width": np.asarray(widths, dtype=np.int32),
+                        "height": np.asarray(heights, dtype=np.int32),
+                        "n_frames": np.asarray(frames, dtype=np.int32),
+                        "features": feats,
+                    }
+                )
+
+        return media.filter(F.col("kind") == "image").mapInPandas(real_fn, FEATURES_SCHEMA)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,16 +197,53 @@ def resize_images(
 ) -> DataFrame:
     """Resize plumbing for image payloads: aspect-preserving fit into a
     ``max_side`` square.  The geometry math (scale factor, rounded output
-    dims) is real; the pixel resampling is STUBBED like decode — the fake
-    path emits a deterministic digest-derived byte payload of exactly
-    out_width*out_height bytes (one fake gray byte per pixel), so batch
-    shape, memory profile and schema match a real resizer."""
-    if not fake:
-        raise NotImplementedError(
-            "real image resize requires pillow etc., not available in this container"
-        )
-
+    dims) is real; the fake path emits a deterministic digest-derived byte
+    payload of exactly out_width*out_height bytes (one fake gray byte per
+    pixel), so batch shape, memory profile and schema match a real resizer.
+    ``fake=False`` runs a real Pillow LANCZOS resize (gray bytes out, same
+    schema) when Pillow is importable, else raises NotImplementedError."""
     cols = [f.name for f in RESIZED_SCHEMA.fields]
+
+    if not fake:
+        if _pil_image() is None:
+            raise NotImplementedError(
+                "real image resize requires Pillow, not available in this container"
+            )
+
+        def real_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import io
+
+            Image = _pil_image()
+            for pdf in batches:
+                if not len(pdf):
+                    yield pd.DataFrame(columns=cols)
+                    continue
+                w, h, ow, oh, payloads = [], [], [], [], []
+                for p in pdf["payload"]:
+                    with Image.open(io.BytesIO(bytes(p))) as im:
+                        iw, ih = im.size
+                        scale = min(1.0, max_side / float(max(iw, ih)))
+                        tw = max(1, int(round(iw * scale)))
+                        th = max(1, int(round(ih * scale)))
+                        out = im.convert("L").resize((tw, th), Image.LANCZOS)
+                    w.append(iw)
+                    h.append(ih)
+                    ow.append(tw)
+                    oh.append(th)
+                    payloads.append(out.tobytes())
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"].to_numpy(),
+                        "kind": pdf["kind"].to_numpy(),
+                        "width": np.asarray(w, dtype=np.int32),
+                        "height": np.asarray(h, dtype=np.int32),
+                        "out_width": np.asarray(ow, dtype=np.int32),
+                        "out_height": np.asarray(oh, dtype=np.int32),
+                        "resized": payloads,
+                    }
+                )
+
+        return media.filter(F.col("kind") == "image").mapInPandas(real_fn, RESIZED_SCHEMA)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

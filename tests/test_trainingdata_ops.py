@@ -306,3 +306,43 @@ def test_all_pairs_cosine_guard_refuses_large_input(spark):
     # under the cap it runs
     small = emb.filter(F.col("vec_id") < 20)
     assert all_pairs_cosine(small, threshold=0.999, max_rows=100).count() >= 0
+
+
+def test_multimodal_real_decode_with_pillow(spark):
+    """Real-image decode path (fake=False): runs only where Pillow is
+    importable — skipped in this container, exercised wherever the optional
+    dependency exists.  The fake-container oracle queries are untouched."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from stl_decomp_4j_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        resize_images,
+    )
+
+    rows = []
+    for mid, (w, h, gray) in enumerate([(10, 6, 50), (130, 80, 200)]):
+        im = Image.new("L", (w, h), color=gray)
+        buf = io.BytesIO()
+        im.save(buf, format="PNG")
+        rows.append((mid, "image", bytearray(buf.getvalue()), "image/png", len(buf.getvalue())))
+    # a non-image row must be filtered out by the real path, not decoded
+    rows.append((99, "audio", bytearray(b"not an image"), "audio/x-fake", 12))
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+    feats = extract_features(media, n_features=4, fake=False).orderBy("media_id").toPandas()
+    assert list(feats["media_id"]) == [0, 1]
+    assert list(feats["width"]) == [10, 130] and list(feats["height"]) == [6, 80]
+    assert list(feats["n_frames"]) == [1, 1]
+    for r, gray in zip(feats.itertuples(), (50, 200)):
+        assert len(r.features) == 4
+        assert all(abs(f - gray / 255.0) < 1e-9 for f in r.features)  # constant image
+
+    res = resize_images(media, max_side=64, fake=False).orderBy("media_id").toPandas()
+    assert list(res["media_id"]) == [0, 1]
+    r0, r1 = res.iloc[0], res.iloc[1]
+    assert (r0.out_width, r0.out_height) == (10, 6)        # under max_side: untouched
+    assert (r1.out_width, r1.out_height) == (64, 39)       # 130x80 -> fit 64 square
+    assert len(bytes(r1.resized)) == 64 * 39               # gray byte per pixel
+    assert set(bytes(r0.resized)) == {50}                  # constant image stays constant

@@ -78,6 +78,28 @@ def main():
         dedup_minhash_lsh(docs, threshold=0.6)
     )
 
+    # round-4: adversarial-skew valve — with max_bucket set, the band-bucket
+    # size count is a window over the SAME (band, bh) partitioning the
+    # self-join shuffles on (one exchange feeds both), so degenerate buckets
+    # are dropped before any O(n^2) pair expansion
+    from stl_decomp_4j_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sections["LSH band join with max_bucket skew valve (window on join partitioning)"] = plan_of(
+        lsh_candidate_pairs(minhash_signatures(docs), max_bucket=1000)
+    )
+
+    # round-4: repeated-span dedup — gram hash agg (cross-doc detection is
+    # min!=max, no countDistinct), semi-join by hash, island merge as two
+    # windows + an agg all on one doc_id partitioning; zero Python anywhere
+    from stl_decomp_4j_spark.operators.dedup import duplicate_spans
+
+    sections["repeated-span dedup (hashed span index, island-merge windows)"] = plan_of(
+        duplicate_spans(docs, k=5)
+    )
+
     # round-3: pruned chunk reads — url/time predicates must reach the
     # parquet scan of the Gorilla chunk store (PushedFilters on url/t0/t1)
     import datetime as dt
@@ -280,6 +302,22 @@ def main():
     checks.append(("minhash plan has no Python row UDFs", "BatchEvalPython" not in m_plan))
     checks.append(("shingling via posexplode Generate (codegen)", "posexplode" in m_plan))
     checks.append(("no interpreted array transform in dedup plan", "transform(" not in m_plan.lower() or "lambdafunction" not in m_plan.lower()))
+    v_plan = sections["LSH band join with max_bucket skew valve (window on join partitioning)"]
+    checks.append(
+        ("skew valve: bucket-size window partitioned on the join key (band, bh)",
+         "Window" in v_plan and "hashpartitioning(band" in v_plan)
+    )
+    checks.append(("skew valve adds no Python", "EvalPython" not in v_plan and "InPandas" not in v_plan))
+    sp_plan = sections["repeated-span dedup (hashed span index, island-merge windows)"]
+    checks.append(
+        ("span dedup: pure codegen (no Python UDFs anywhere)",
+         "EvalPython" not in sp_plan and "InPandas" not in sp_plan)
+    )
+    checks.append(("span dedup: semi-join by gram hash", "LeftSemi" in sp_plan))
+    checks.append(
+        ("span dedup: island merge windows on doc_id partitioning",
+         "hashpartitioning(doc_id" in sp_plan and "Window" in sp_plan)
+    )
     checks.append(
         ("ann plan has no interpreted cast lambda feeding the UDF",
          "lambdafunction" not in t_plan.lower())
