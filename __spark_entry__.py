@@ -408,6 +408,17 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup_minhash_lsh(spark.read.parquet(_t(sf_dir, "documents")), threshold=0.5)
 
 
+def q_dedup_span_strip(spark, sf_dir):
+    """Span REMOVAL: documents rewritten with cross-document duplicate spans
+    stripped (operators/dedup.py strip_duplicate_spans) — the step that
+    consumes the span index in a training-data pipeline.  The oracle
+    recomputes covered positions and the surviving-word reassembly in SQL
+    (string_agg ordered by position)."""
+    from stl_decomp_4j_spark.operators.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(spark.read.parquet(_t(sf_dir, "documents")), k=5)
+
+
 def q_dedup_spans(spark, sf_dir):
     """Cross-document repeated-span extents (hashed 5-gram span index +
     per-doc island merge; operators/dedup.py duplicate_spans).  The oracle
@@ -1083,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_word_set": q_dedup_word_set,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_spans": q_dedup_spans,
+        "dedup_span_strip": q_dedup_span_strip,
         "dedup_components": q_dedup_components,
         "embedding_near_dup_bf": q_embedding_near_dup_bf,
         "ann_topk": q_ann_topk,
@@ -1467,6 +1479,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_words,
                    count(*) AS n_grams
             FROM isl GROUP BY doc_id, island
+        """,
+        "dedup_span_strip": r"""
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(trim(text)), '\S+') AS lwords,
+                              regexp_extract_all(trim(text), '\S+') AS words
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         unnest([array_to_string(lwords[i:i+4], ' ')
+                                 FOR i IN range(1, len(lwords) - 3)]) AS gram,
+                         unnest(range(1, len(lwords) - 3)) AS pos
+                  FROM w WHERE len(lwords) >= 5),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+            d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS cp FROM d),
+            pw AS (SELECT doc_id, unnest(words) AS wd, generate_subscripts(words, 1) AS pos
+                   FROM w),
+            kept AS (SELECT p.doc_id, p.wd, p.pos FROM pw p
+                     WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                       WHERE c.doc_id = p.doc_id AND c.cp = p.pos))
+            SELECT k.doc_id, string_agg(k.wd, ' ' ORDER BY k.pos) AS clean_text,
+                   count(*) AS n_kept,
+                   CAST(any_value(t.n) - count(*) AS BIGINT) AS n_removed
+            FROM kept k JOIN (SELECT doc_id, len(words) AS n FROM w) t USING (doc_id)
+            GROUP BY k.doc_id
         """,
         "dedup_minhash_lsh": f"""
             WITH sh AS ({shingles})

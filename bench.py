@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_spans",
+    "dedup_span_strip",
     "simhash_pairs",
     "ann_topk",
     "embedding_near_dup_lsh",

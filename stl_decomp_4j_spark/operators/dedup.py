@@ -311,6 +311,58 @@ def duplicate_spans(
     )
 
 
+def strip_duplicate_spans(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Rewrite each document with its cross-document duplicate spans removed
+    — the removal step that consumes duplicate_spans in a training-data
+    pipeline.  Output: (doc_id, clean_text, n_kept, n_removed); clean_text
+    is the surviving words (original case) joined by single spaces, so
+    whitespace is normalized but casing is not.  A fully-duplicated doc
+    keeps zero words and is absent from the output (drop it); a doc with no
+    duplicate spans passes through with n_removed = 0.
+
+    Scale shape, zero Python and zero interpreted HOF lambdas: original-case
+    words by posexplode; covered positions by exploding span ranges (volume
+    = duplicated words only); one (doc_id, pos) anti-join; reassembly as two
+    window functions over ONE (doc_id, pos) sort (full-frame collect_list +
+    row_number pick) plus a word-count join.  Everything is linear in corpus
+    words + duplicated volume."""
+    from pyspark.sql import Window
+
+    spans = duplicate_spans(docs, text_col, id_col, k)
+    covered = spans.select(
+        "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
+    )
+    words = (
+        _spread(docs, id_col)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+        )
+        .withColumn("pos", F.col("pos") + F.lit(1))
+    )
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    order = Window.partitionBy("doc_id").orderBy("pos")
+    full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cleaned = (
+        kept.withColumn("_arr", F.collect_list("w").over(full))
+        .withColumn("_rn", F.row_number().over(order))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.array_join("_arr", " ").alias("clean_text"), F.size("_arr").alias("n_kept"))
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_n_words"),
+    )
+    return cleaned.join(totals, "doc_id").select(
+        "doc_id",
+        "clean_text",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        (F.col("_n_words") - F.col("n_kept")).cast("long").alias("n_removed"),
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """64-bit simhash: sign-aggregate the per-word xxhash64 bits.
 

@@ -346,3 +346,27 @@ def test_multimodal_real_decode_with_pillow(spark):
     assert (r1.out_width, r1.out_height) == (64, 39)       # 130x80 -> fit 64 square
     assert len(bytes(r1.resized)) == 64 * 39               # gray byte per pixel
     assert set(bytes(r0.resized)) == {50}                  # constant image stays constant
+
+
+def test_strip_duplicate_spans_planted(spark):
+    """Span removal: exact surviving text on the hand-computed corpus (k=5,
+    same planted spans as test_duplicate_spans_planted), original casing
+    kept, fully-duplicated docs dropped, untouched docs passed through."""
+    from stl_decomp_4j_spark.operators.dedup import strip_duplicate_spans
+
+    rows = [
+        (1, "A B C D E F g h"),                 # span [1,6] removed -> 'g h'
+        (2, "x y a b c d e f q"),               # span [3,8] removed -> 'x y q'
+        (3, "a b c d e f"),                     # fully duplicated -> dropped
+        (4, "zz a b c d e f"),                  # span [2,7] -> 'zz'
+        (5, "only unique words appear in this document"),  # untouched
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = strip_duplicate_spans(docs, k=5).orderBy("doc_id").toPandas()
+    got = {r.doc_id: (r.clean_text, r.n_kept, r.n_removed) for r in out.itertuples()}
+    assert got == {
+        1: ("g h", 2, 6),          # original casing preserved in survivors
+        2: ("x y q", 3, 6),
+        4: ("zz", 1, 6),
+        5: ("only unique words appear in this document", 7, 0),
+    }

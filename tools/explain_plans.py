@@ -100,6 +100,14 @@ def main():
         duplicate_spans(docs, k=5)
     )
 
+    # round-4: span removal — covered-position explode + anti-join + window
+    # reassembly; still zero Python, reassembly windows share one sort
+    from stl_decomp_4j_spark.operators.dedup import strip_duplicate_spans
+
+    sections["span removal (anti-join + one-sort window reassembly)"] = plan_of(
+        strip_duplicate_spans(docs, k=5)
+    )
+
     # round-3: pruned chunk reads — url/time predicates must reach the
     # parquet scan of the Gorilla chunk store (PushedFilters on url/t0/t1)
     import datetime as dt
@@ -318,6 +326,12 @@ def main():
         ("span dedup: island merge windows on doc_id partitioning",
          "hashpartitioning(doc_id" in sp_plan and "Window" in sp_plan)
     )
+    ss_plan = sections["span removal (anti-join + one-sort window reassembly)"]
+    checks.append(
+        ("span removal: pure codegen (no Python UDFs anywhere)",
+         "EvalPython" not in ss_plan and "InPandas" not in ss_plan)
+    )
+    checks.append(("span removal: anti-join on (doc_id, pos)", "LeftAnti" in ss_plan))
     checks.append(
         ("ann plan has no interpreted cast lambda feeding the UDF",
          "lambdafunction" not in t_plan.lower())
