@@ -499,6 +499,20 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_pairs(spark.read.parquet(_t(sf_dir, "documents")), max_hamming=4)
 
 
+def q_snapshot_dedup(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.dedup import snapshot_dedup
+
+    # `source` is the snapshot key, doc_id order is crawl order: flag
+    # consecutive re-crawls whose simhash moved <= 4 bits.
+    return snapshot_dedup(spark.read.parquet(_t(sf_dir, "documents")), max_hamming=4)
+
+
+def q_snapshot_churn(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.dedup import snapshot_churn
+
+    return snapshot_churn(spark.read.parquet(_t(sf_dir, "documents")), max_hamming=4)
+
+
 def q_stl_decompose_events(spark, sf_dir):
     from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
 
@@ -1102,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "simhash_pairs": q_simhash_pairs,
+        "snapshot_dedup": q_snapshot_dedup,
+        "snapshot_churn": q_snapshot_churn,
         "stl_decompose_events": q_stl_decompose_events,
         "stl_tier_1d": q_stl_tier_1d,
         "stl_tier_1d_fused": q_stl_tier_1d_fused,
@@ -1636,6 +1652,44 @@ def _lsh_oracles() -> dict[str, str]:
             FROM fx a JOIN fx b ON a.doc_id < b.doc_id
             WHERE ({blocks})
               AND bit_count(xor(a.simhash, b.simhash)) <= 4
+        """,
+        "snapshot_dedup": f"""
+            WITH fx AS (
+                SELECT doc_id, simhash FROM read_parquet('{fix}/simhash.parquet')
+                WHERE sum_chars = (SELECT sum(n_chars) FROM documents)
+            ),
+            j AS (SELECT d.doc_id, d.source, fx.simhash
+                  FROM documents d JOIN fx USING (doc_id)),
+            w AS (SELECT doc_id, source, simhash,
+                         lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev_id,
+                         lag(simhash) OVER (PARTITION BY source ORDER BY doc_id) AS prev_sh
+                  FROM j)
+            SELECT source, doc_id, prev_id,
+                   bit_count(xor(simhash, prev_sh)) AS hamming
+            FROM w
+            WHERE prev_id IS NOT NULL
+              AND bit_count(xor(simhash, prev_sh)) <= 4
+        """,
+        "snapshot_churn": f"""
+            WITH fx AS (
+                SELECT doc_id, simhash FROM read_parquet('{fix}/simhash.parquet')
+                WHERE sum_chars = (SELECT sum(n_chars) FROM documents)
+            ),
+            j AS (SELECT d.doc_id, d.source, fx.simhash
+                  FROM documents d JOIN fx USING (doc_id)),
+            w AS (SELECT doc_id, source,
+                         lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS prev_id,
+                         bit_count(xor(simhash,
+                             lag(simhash) OVER (PARTITION BY source ORDER BY doc_id))) AS hamming
+                  FROM j)
+            SELECT source,
+                   count(*) AS n_pairs,
+                   sum(CASE WHEN hamming <= 4 THEN 1 ELSE 0 END)::BIGINT AS n_redundant,
+                   round(sum(CASE WHEN hamming <= 4 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+                       AS redundant_ratio,
+                   round(avg(hamming::DOUBLE), 6) AS avg_hamming
+            FROM w WHERE prev_id IS NOT NULL
+            GROUP BY source
         """,
         "ann_lsh": f"""
             WITH {planes}, {bucketed},

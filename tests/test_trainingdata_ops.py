@@ -106,7 +106,7 @@ def test_simhash_properties(spark, docs):
         assert sh[i] == sh[i + 100000]
     # near-dup (small edit) -> small hamming distance
     for i in range(5, 10):
-        ham = bin(int(sh[i]) ^ int(sh[i + 200000])).count("1")
+        ham = bin((int(sh[i]) ^ int(sh[i + 200000])) & ((1 << 64) - 1)).count("1")
         assert ham <= 12, (i, ham)
 
 
@@ -370,3 +370,68 @@ def test_strip_duplicate_spans_planted(spark):
         4: ("zz", 1, 6),
         5: ("only unique words appear in this document", 7, 0),
     }
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    """Planted crawl snapshots: per-source doc_id order is crawl order."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank " * 4
+    other = "completely different content about spark catalyst tungsten codegen " * 4
+    rows = [
+        # s1: 1->2 identical (redundant), 2->3 change, 3->4 identical (redundant)
+        (1, base, "s1"),
+        (2, base, "s1"),
+        (3, other, "s1"),
+        (4, other, "s1"),
+        # s2: single snapshot -> no pairs
+        (10, base + " extra", "s2"),
+        # s3: two genuinely different snapshots -> pair exists, not redundant
+        (20, base, "s3"),
+        (21, other, "s3"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    df.cache().count()
+    return df
+
+
+def test_snapshot_dedup_planted(spark, snapshots):
+    from stl_decomp_4j_spark.operators.dedup import snapshot_dedup
+
+    out = snapshot_dedup(snapshots, max_hamming=4).toPandas()
+    flagged = set(map(tuple, out[["source", "doc_id", "prev_id"]].to_numpy()))
+    assert ("s1", 2, 1) in flagged  # identical consecutive snapshot
+    assert ("s1", 4, 3) in flagged
+    assert all(r[0] != "s2" for r in flagged)  # single snapshot: no pair
+    assert ("s3", 21, 20) not in flagged  # different content not collapsed
+    assert (out[out["doc_id"].isin([2, 4])]["hamming"] == 0).all()
+
+
+def test_snapshot_dedup_matches_lag_rule(spark, docs):
+    """Flag set == pandas recompute of the lag-1 rule on simhash(docs)."""
+    from stl_decomp_4j_spark.operators.dedup import simhash, snapshot_dedup
+
+    sh = simhash(docs, carry_cols=("source",)).toPandas().sort_values(["source", "doc_id"])
+    want = set()
+    for _, g in sh.groupby("source"):
+        prev = None
+        for _, r in g.iterrows():
+            if prev is not None:
+                # mask to 64 bits: int64 xor in infinite-precision Python
+                # ints goes negative when exactly one side is negative
+                ham = bin((int(prev[1]) ^ int(r["simhash"])) & ((1 << 64) - 1)).count("1")
+                if ham <= 6:
+                    want.add((r["source"], int(r["doc_id"]), int(prev[0]), ham))
+            prev = (r["doc_id"], r["simhash"])
+    out = snapshot_dedup(docs, max_hamming=6).toPandas()
+    got = set(map(tuple, out[["source", "doc_id", "prev_id", "hamming"]].to_numpy()))
+    assert got == want
+
+
+def test_snapshot_churn_counts(spark, snapshots):
+    from stl_decomp_4j_spark.operators.dedup import snapshot_churn
+
+    out = snapshot_churn(snapshots, max_hamming=4).toPandas().set_index("source")
+    assert out.loc["s1", "n_pairs"] == 3 and out.loc["s1", "n_redundant"] == 2
+    assert "s2" not in out.index
+    assert out.loc["s3", "n_pairs"] == 1 and out.loc["s3", "n_redundant"] == 0
+    assert abs(out.loc["s1", "redundant_ratio"] - round(2 / 3, 6)) < 1e-9
