@@ -200,3 +200,57 @@ def test_stream_ingest_then_incremental_rollup(spark, tmp_path):
         .first()[0]
     )
     assert max_ts == want
+
+
+def test_stream_snapshot_dedup_matches_batch_across_restart(spark, tmp_path):
+    """Streaming snapshot dedup == batch snapshot_dedup on the same in-order
+    fingerprint rows, including carried state across a checkpoint restart."""
+    from stl_decomp_4j_spark.operators.dedup import simhash, snapshot_dedup
+    from stl_decomp_4j_spark.streaming.snapshots import (
+        SNAPSHOT_IN_SCHEMA,
+        stream_snapshot_dedup,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fps = (
+        simhash(docs, carry_cols=("source",))
+        .select("source", "doc_id", "simhash")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    mid = int(fps["doc_id"].median())
+
+    src = str(tmp_path / "fps")
+    out = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "snap_ckpt")
+
+    def write_chunk(pdf):
+        spark.createDataFrame(pdf, SNAPSHOT_IN_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(SNAPSHOT_IN_SCHEMA).parquet(src)
+        q = (
+            stream_snapshot_dedup(stream, max_hamming=6)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # chunk 1 (low doc ids), then a full restart with chunk 2 — verdicts that
+    # straddle the boundary need the carried (last_id, last_sh) state
+    write_chunk(fps[fps["doc_id"] <= mid])
+    run_once()
+    write_chunk(fps[fps["doc_id"] > mid])
+    run_once()
+
+    got = spark.read.parquet(out).toPandas()
+    want = snapshot_dedup(docs, max_hamming=6).toPandas()
+    key = ["source", "doc_id", "prev_id", "hamming"]
+    assert set(map(tuple, got[key].to_numpy())) == set(map(tuple, want[key].to_numpy()))
+    assert len(got) == len(want)  # exactly once — no duplicate emissions
