@@ -108,6 +108,20 @@ def main():
         strip_duplicate_spans(docs, k=5)
     )
 
+    # round-4: temporal snapshot dedup — one codegen simhash vote agg (the
+    # source key rides the groupBy, no join back), then ONE window exchange
+    # keyed on source; zero joins, zero Python
+    from stl_decomp_4j_spark.operators.dedup import snapshot_churn, snapshot_dedup
+
+    sections["temporal snapshot dedup (vote agg + single lag window, zero joins)"] = plan_of(
+        snapshot_dedup(docs, max_hamming=4)
+    )
+    # churn rollup must reuse the window's source partitioning (no exchange
+    # between the lag window and the groupBy)
+    sections["snapshot churn rollup (agg reuses window partitioning)"] = plan_of(
+        snapshot_churn(docs, max_hamming=4)
+    )
+
     # round-3: pruned chunk reads — url/time predicates must reach the
     # parquet scan of the Gorilla chunk store (PushedFilters on url/t0/t1)
     import datetime as dt
