@@ -513,6 +513,24 @@ def q_snapshot_churn(spark, sf_dir):
     return snapshot_churn(spark.read.parquet(_t(sf_dir, "documents")), max_hamming=4)
 
 
+def q_corpus_clean(spark, sf_dir):
+    from stl_decomp_4j_spark.operators.corpus import dedup_corpus
+
+    # the composed training-data cleaning pass: exact -> temporal snapshot ->
+    # near-dup keep-one (LSH pairs + connected components) -> span removal.
+    # minhash_threshold=0.5 matches the validated dedup_minhash_lsh oracle
+    # equality (LSH recall ~1 there); each stage's semantics are individually
+    # oracled by the dedup_* / snapshot_* / dedup_span_strip queries.
+    return dedup_corpus(
+        spark.read.parquet(_t(sf_dir, "documents")),
+        snapshot_key="source",
+        snapshot_max_hamming=4,
+        minhash_threshold=0.5,
+        minhash_k=3,
+        strip_spans_k=5,
+    )
+
+
 def q_stl_decompose_events(spark, sf_dir):
     from stl_decomp_4j_spark.operators.stl_udf import stl_decompose_df
 
@@ -1118,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "snapshot_dedup": q_snapshot_dedup,
         "snapshot_churn": q_snapshot_churn,
+        "corpus_clean": q_corpus_clean,
         "stl_decompose_events": q_stl_decompose_events,
         "stl_tier_1d": q_stl_tier_1d,
         "stl_tier_1d_fused": q_stl_tier_1d_fused,
@@ -1690,6 +1709,79 @@ def _lsh_oracles() -> dict[str, str]:
                    round(avg(hamming::DOUBLE), 6) AS avg_hamming
             FROM w WHERE prev_id IS NOT NULL
             GROUP BY source
+        """,
+        "corpus_clean": f"""
+            WITH RECURSIVE
+            fx AS (
+                SELECT doc_id, simhash FROM read_parquet('{fix}/simhash.parquet')
+                WHERE sum_chars = (SELECT sum(n_chars) FROM documents)
+            ),
+            -- stage 1: exact (keep lowest id per digest)
+            ex AS (
+                SELECT * FROM documents
+                QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+            ),
+            -- stage 2: temporal snapshot collapse (lag-1 simhash per source)
+            snl AS (
+                SELECT e.doc_id,
+                       bit_count(xor(fx.simhash,
+                           lag(fx.simhash) OVER (PARTITION BY e.source ORDER BY e.doc_id)))
+                           AS ham
+                FROM ex e JOIN fx USING (doc_id)
+            ),
+            sn AS (
+                SELECT e.* FROM ex e JOIN snl USING (doc_id)
+                WHERE snl.ham IS NULL OR snl.ham > 4
+            ),
+            -- stage 3: near-dup keep-one (exact Jaccard >= 0.5 + CC minimum)
+            shs AS (
+                SELECT doc_id, list_distinct([
+                    lower(words[i]) || ' ' || lower(words[i+1]) || ' ' || lower(words[i+2])
+                    FOR i IN range(1, len(words) - 1)
+                ]) AS sh
+                FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS words
+                      FROM sn)
+                WHERE len(words) >= 3
+            ),
+            prs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+            ),
+            e2 AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM sn
+                UNION
+                SELECT e2.v, r.label FROM reach r JOIN e2 ON e2.u = r.node
+            ),
+            comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+            nd AS (
+                SELECT s.* FROM sn s JOIN comp ON comp.doc_id = s.doc_id
+                WHERE comp.component = s.doc_id
+            ),
+            -- stage 4: repeated-span removal (k=5) over the survivors
+            w AS (SELECT doc_id,
+                         regexp_extract_all(lower(trim(text)), '\\S+') AS lwords,
+                         regexp_extract_all(trim(text), '\\S+') AS words
+                  FROM nd),
+            g AS (SELECT doc_id,
+                         unnest([array_to_string(lwords[i:i+4], ' ')
+                                 FOR i IN range(1, len(lwords) - 3)]) AS gram,
+                         unnest(range(1, len(lwords) - 3)) AS pos
+                  FROM w WHERE len(lwords) >= 5),
+            dup AS (SELECT gram FROM g GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+            d AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+            cov AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 5)) AS cp FROM d),
+            pw AS (SELECT doc_id, unnest(words) AS wd, generate_subscripts(words, 1) AS pos
+                   FROM w),
+            kept AS (SELECT p.doc_id, p.wd, p.pos FROM pw p
+                     WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                       WHERE c.doc_id = p.doc_id AND c.cp = p.pos)),
+            ct AS (SELECT doc_id, string_agg(wd, ' ' ORDER BY pos) AS text
+                   FROM kept GROUP BY doc_id)
+            SELECT n.doc_id, ct.text, n.lang, n.source, n.n_chars
+            FROM nd n JOIN ct USING (doc_id)
         """,
         "ann_lsh": f"""
             WITH {planes}, {bucketed},
