@@ -1192,6 +1192,26 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS words FROM documents)
         WHERE len(words) >= 3
     """
+    # exact pairwise Jaccard via an inverted gram index — identical values to
+    # an n^2 list_intersect join, but linear in shared-gram pairs (the n^2
+    # form was quadratic-infeasible on the 5000-doc sf0.1 table)
+    gram_jaccard = f"""
+        sh AS ({shingles}),
+        shx AS (SELECT doc_id, unnest(sh) AS gr FROM sh),
+        shn AS (SELECT doc_id, len(sh) AS n FROM sh),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+            FROM shx a JOIN shx b ON a.gr = b.gr AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        jac AS (
+            SELECT id_a, id_b,
+                   CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS j
+            FROM inter
+            JOIN shn sa ON sa.doc_id = inter.id_a
+            JOIN shn sb ON sb.doc_id = inter.id_b
+        )
+    """
     gapfill_linear = f"""
         WITH hourly AS ({hourly_raw}),
         bounds AS (SELECT url, min(ts) AS t0, max(ts) AS t1 FROM hourly GROUP BY url),
@@ -1474,22 +1494,18 @@ def oracle_sql() -> dict[str, str]:
             "min(doc_id) AS keep_id, count(*) AS n_docs FROM documents GROUP BY 1 HAVING count(*) > 1"
         ),
         "dedup_components": f"""
-            WITH RECURSIVE sh AS ({shingles}),
-            p AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
-            ),
+            WITH RECURSIVE {gram_jaccard},
+            p AS (SELECT id_a, id_b FROM jac WHERE j >= 0.5),
             e AS (SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p),
             reach(node, label) AS (
-                SELECT doc_id, doc_id FROM documents
+                SELECT u, u FROM e
                 UNION
                 SELECT e.v, r.label FROM reach r JOIN e ON e.u = r.node
-            )
-            SELECT node AS doc_id, min(label) AS component,
-                   min(label) = node AS is_canonical
-            FROM reach GROUP BY node
+            ),
+            comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component,
+                   coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
         """,
         "dedup_spans": r"""
             WITH w AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\S+') AS words
@@ -1540,13 +1556,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY k.doc_id
         """,
         "dedup_minhash_lsh": f"""
-            WITH sh AS ({shingles})
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                         / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                  / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+            WITH {gram_jaccard}
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
         """,
         "embedding_near_dup_bf": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -1733,7 +1744,11 @@ def _lsh_oracles() -> dict[str, str]:
                 SELECT e.* FROM ex e JOIN snl USING (doc_id)
                 WHERE snl.ham IS NULL OR snl.ham > 4
             ),
-            -- stage 3: near-dup keep-one (exact Jaccard >= 0.5 + CC minimum)
+            -- stage 3: near-dup keep-one (exact Jaccard >= 0.5 + CC minimum).
+            -- Intersections via an inverted gram index (identical values to
+            -- the n^2 list_intersect join, but linear in shared-gram pairs);
+            -- closure seeded from pair nodes only (singletons are trivially
+            -- canonical).
             shs AS (
                 SELECT doc_id, list_distinct([
                     lower(words[i]) || ' ' || lower(words[i+1]) || ' ' || lower(words[i+2])
@@ -1743,22 +1758,32 @@ def _lsh_oracles() -> dict[str, str]:
                       FROM sn)
                 WHERE len(words) >= 3
             ),
+            shx AS (SELECT doc_id, unnest(sh) AS gr FROM shs),
+            shn AS (SELECT doc_id, len(sh) AS n FROM shs),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM shx a JOIN shx b ON a.gr = b.gr AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
             prs AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM shs a JOIN shs b ON a.doc_id < b.doc_id
-                WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                      / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+                SELECT id_a, id_b
+                FROM inter
+                JOIN shn sa ON sa.doc_id = inter.id_a
+                JOIN shn sb ON sb.doc_id = inter.id_b
+                WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
             ),
             e2 AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
             reach(node, label) AS (
-                SELECT doc_id, doc_id FROM sn
+                SELECT u, u FROM e2
                 UNION
                 SELECT e2.v, r.label FROM reach r JOIN e2 ON e2.u = r.node
             ),
-            comp AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+            noncanon AS (
+                SELECT node FROM reach GROUP BY node HAVING min(label) <> node
+            ),
             nd AS (
-                SELECT s.* FROM sn s JOIN comp ON comp.doc_id = s.doc_id
-                WHERE comp.component = s.doc_id
+                SELECT s.* FROM sn s
+                WHERE s.doc_id NOT IN (SELECT node FROM noncanon)
             ),
             -- stage 4: repeated-span removal (k=5) over the survivors
             w AS (SELECT doc_id,
