@@ -122,6 +122,18 @@ def main():
         snapshot_churn(docs, max_hamming=4)
     )
 
+    # round-4: the composed corpus-cleaning pass — every stage is one of the
+    # operators audited above; the composition itself must add only slim
+    # doc_id anti-joins between stages and introduce no per-row Python
+    # (note: connected_components inside it runs its star-rounds eagerly via
+    # localCheckpoint, so the printed plan shows the final anti-join chain
+    # over the converged component labels)
+    from stl_decomp_4j_spark.operators.corpus import dedup_corpus
+
+    sections["corpus cleaning composition (exact -> snapshot -> near-dup -> span strip)"] = plan_of(
+        dedup_corpus(docs, snapshot_key="source", strip_spans_k=5)
+    )
+
     # round-3: pruned chunk reads — url/time predicates must reach the
     # parquet scan of the Gorilla chunk store (PushedFilters on url/t0/t1)
     import datetime as dt
@@ -346,6 +358,15 @@ def main():
          "EvalPython" not in ss_plan and "InPandas" not in ss_plan)
     )
     checks.append(("span removal: anti-join on (doc_id, pos)", "LeftAnti" in ss_plan))
+    cc_plan = sections["corpus cleaning composition (exact -> snapshot -> near-dup -> span strip)"]
+    checks.append(
+        ("corpus composition: no per-row Python anywhere",
+         "BatchEvalPython" not in cc_plan)
+    )
+    checks.append(
+        ("corpus composition: stages stitched by anti-joins on doc_id",
+         "LeftAnti" in cc_plan)
+    )
     checks.append(
         ("ann plan has no interpreted cast lambda feeding the UDF",
          "lambdafunction" not in t_plan.lower())
