@@ -14,9 +14,20 @@ the graph DIAMETER (a 10^6-long chain of near-dups would need 10^6
 shuffles; star contraction needs ~20).
 
 Spark mapping: edges live in a DataFrame; each round is codegen
-groupBy/join (no Python); `localCheckpoint` truncates the growing lineage
-each round (on a cluster with an HDFS checkpoint dir one would use reliable
-`checkpoint` instead — executor loss then costs a round, not the job).
+groupBy/join (no Python); each round ends with a RELIABLE eager
+`checkpoint()` — the star rounds roughly triple the logical plan per
+iteration, so without a plan cut Catalyst's analyzer OOMs around round 15
+(persist alone does NOT cut the logical plan: InMemoryRelation substitution
+happens at execution, not plan construction).  Reliable checkpoint files
+live in the SparkContext checkpoint dir (HDFS/object store on a cluster),
+so an executor loss re-reads them instead of failing the job — which is why
+this deliberately does NOT use `localCheckpoint` (executor-local blocks,
+job-fatal on loss; cf. the persist rationale in dedup.py's minhash
+pipeline).  If no checkpoint dir is configured, one is created under the
+local filesystem tmp dir (correct single-node default; a cluster deployment
+should call `sc.setCheckpointDir` with a shared path — files are not
+auto-deleted unless `spark.cleaner.referenceTracking.cleanCheckpoints` is
+set).
 Convergence is detected by an order-insensitive edge-set fingerprint
 (count + xor of row hashes), one tiny aggregate per round — not a
 driver-side collect of the edges.
@@ -87,18 +98,25 @@ def connected_components(
     Raises after ``max_rounds`` star rounds without convergence (the bound
     is log-scale generous: 2^50 nodes).
     """
+    sc = pairs.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        # single-node default; cluster deployments set a shared dir up front
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="cc-checkpoint-"))
+
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .checkpoint(eager=True)
     )
     if not edges.take(1):
         return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     prev = _fingerprint(edges)
     for _ in range(max_rounds):
         prev_edges = edges
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).checkpoint(eager=True)
         cur = _fingerprint(edges)
         # the fingerprint is a (count, xor-of-xxhash64) pair, so a match could
         # in principle (p ~ 2^-64) be a collision: confirm the fixpoint with

@@ -324,12 +324,14 @@ def strip_duplicate_spans(
 
     Scale shape, zero Python and zero interpreted HOF lambdas: original-case
     words by posexplode; covered positions by exploding span ranges (volume
-    = duplicated words only); one (doc_id, pos) anti-join; reassembly as two
-    window functions over ONE (doc_id, pos) sort (full-frame collect_list +
-    row_number pick) plus a word-count join.  Everything is linear in corpus
-    words + duplicated volume."""
-    from pyspark.sql import Window
-
+    = duplicated words only); one (doc_id, pos) anti-join; reassembly as ONE
+    hash aggregate per doc — array_sort(collect_list(struct(pos, w))) then a
+    codegen'd struct-field extract (GetArrayStructFields) + array_join — so
+    each document's word array is built exactly once (O(W log W) sort, O(W)
+    copies).  The previous full-frame window formulation attached the whole
+    array to EVERY row before a row_number pick — O(W^2) UnsafeRow copies
+    per doc, a scale-killer on book-length documents.  Everything is linear
+    in corpus words + duplicated volume."""
     spans = duplicate_spans(docs, text_col, id_col, k)
     covered = spans.select(
         "doc_id", F.explode(F.sequence("span_start", "span_end")).alias("pos")
@@ -343,13 +345,17 @@ def strip_duplicate_spans(
         .withColumn("pos", F.col("pos") + F.lit(1))
     )
     kept = words.join(covered, ["doc_id", "pos"], "left_anti")
-    order = Window.partitionBy("doc_id").orderBy("pos")
-    full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # array_sort on struct arrays orders by fields in declaration order, so
+    # (pos, w) sorts by the unique 1-based position; `_sw.w` is a codegen'd
+    # GetArrayStructFields projection, not an interpreted lambda.
     cleaned = (
-        kept.withColumn("_arr", F.collect_list("w").over(full))
-        .withColumn("_rn", F.row_number().over(order))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", F.array_join("_arr", " ").alias("clean_text"), F.size("_arr").alias("n_kept"))
+        kept.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("_sw"))
+        .select(
+            "doc_id",
+            F.array_join(F.col("_sw.w"), " ").alias("clean_text"),
+            F.size("_sw").alias("n_kept"),
+        )
     )
     totals = docs.select(
         F.col(id_col).alias("doc_id"),

@@ -372,6 +372,30 @@ def test_strip_duplicate_spans_planted(spark):
     }
 
 
+def test_strip_duplicate_spans_book_length_doc(spark):
+    """Scale guard for the r4 O(words^2) reassembly bug: a 10^5-word doc
+    with a planted duplicated span must reassemble in one hash aggregate
+    (the old full-frame window shape did ~10^10 UnsafeRow copies here and
+    would not finish).  Verifies exact word count, span removal, and word
+    ORDER across the whole document."""
+    from stl_decomp_4j_spark.operators.dedup import strip_duplicate_spans
+
+    n = 100_000
+    words = [f"w{i}" for i in range(n)]
+    dup = "alpha beta gamma delta epsilon"  # 5-gram duplicated across docs
+    big = " ".join(words[: n // 2]) + " " + dup + " " + " ".join(words[n // 2 :])
+    docs = spark.createDataFrame(
+        [(1, big), (2, "pad1 " + dup + " pad2")], ["doc_id", "text"]
+    )
+    out = strip_duplicate_spans(docs, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "unboundedfollowing" not in plan.lower()  # no full-frame window
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["n_kept"] == n and got[1]["n_removed"] == 5
+    assert got[1]["clean_text"] == " ".join(words)  # order preserved end-to-end
+    assert (got[2]["clean_text"], got[2]["n_removed"]) == ("pad1 pad2", 5)
+
+
 @pytest.fixture(scope="module")
 def snapshots(spark):
     """Planted crawl snapshots: per-source doc_id order is crawl order."""

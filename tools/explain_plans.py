@@ -100,11 +100,14 @@ def main():
         duplicate_spans(docs, k=5)
     )
 
-    # round-4: span removal — covered-position explode + anti-join + window
-    # reassembly; still zero Python, reassembly windows share one sort
+    # round-4/5: span removal — covered-position explode + anti-join, then
+    # per-doc reassembly as ONE hash aggregate (array_sort(collect_list(
+    # struct(pos,w))) + GetArrayStructFields).  Round 5 removed the r4
+    # full-frame window (collect_list over unbounded frame + row_number pick
+    # was O(words^2) UnsafeRow copies per doc); still zero Python.
     from stl_decomp_4j_spark.operators.dedup import strip_duplicate_spans
 
-    sections["span removal (anti-join + one-sort window reassembly)"] = plan_of(
+    sections["span removal (anti-join + per-doc hash-agg reassembly)"] = plan_of(
         strip_duplicate_spans(docs, k=5)
     )
 
@@ -125,9 +128,9 @@ def main():
     # round-4: the composed corpus-cleaning pass — every stage is one of the
     # operators audited above; the composition itself must add only slim
     # doc_id anti-joins between stages and introduce no per-row Python
-    # (note: connected_components inside it runs its star-rounds eagerly via
-    # localCheckpoint, so the printed plan shows the final anti-join chain
-    # over the converged component labels)
+    # (note: connected_components inside it runs its star-rounds eagerly,
+    # persisting each round, so the printed plan shows the final anti-join
+    # chain over the converged component labels)
     from stl_decomp_4j_spark.operators.corpus import dedup_corpus
 
     sections["corpus cleaning composition (exact -> snapshot -> near-dup -> span strip)"] = plan_of(
@@ -210,7 +213,7 @@ def main():
 
     # round-3: one large-star/small-star round of connected components —
     # pure codegen aggregates + joins (the iterative driver loop only
-    # re-applies this same plan shape to a localCheckpoint'd edge set)
+    # re-applies this same plan shape to a persisted+materialized edge set)
     from stl_decomp_4j_spark.operators.components import _large_star, _small_star
 
     edges = spark.range(0, 1000).select(
@@ -352,20 +355,30 @@ def main():
         ("span dedup: island merge windows on doc_id partitioning",
          "hashpartitioning(doc_id" in sp_plan and "Window" in sp_plan)
     )
-    ss_plan = sections["span removal (anti-join + one-sort window reassembly)"]
+    ss_plan = sections["span removal (anti-join + per-doc hash-agg reassembly)"]
     checks.append(
         ("span removal: pure codegen (no Python UDFs anywhere)",
          "EvalPython" not in ss_plan and "InPandas" not in ss_plan)
     )
     checks.append(("span removal: anti-join on (doc_id, pos)", "LeftAnti" in ss_plan))
-    cc_plan = sections["corpus cleaning composition (exact -> snapshot -> near-dup -> span strip)"]
     checks.append(
-        ("corpus composition: no per-row Python anywhere",
-         "BatchEvalPython" not in cc_plan)
+        ("span removal: no full-frame window reassembly (O(W^2) r4 shape gone)",
+         "unboundedfollowing" not in ss_plan.lower())
     )
     checks.append(
-        ("corpus composition: stages stitched by anti-joins on doc_id",
-         "LeftAnti" in cc_plan)
+        ("span removal: reassembly is a collect_list hash aggregate",
+         "ObjectHashAggregate" in ss_plan and "collect_list" in ss_plan)
+    )
+    cc_plan = sections["corpus cleaning composition (exact -> snapshot -> near-dup -> span strip)"]
+    checks.append(
+        ("corpus composition: no Python anywhere (scalar, Arrow, or grouped-map)",
+         "EvalPython" not in cc_plan and "InPandas" not in cc_plan)
+    )
+    checks.append(
+        # snapshot-stage stitch + near-dup-stage stitch + span-strip's own
+        # internal (doc_id, pos) anti-join = at least 3 LeftAnti joins
+        ("corpus composition: >=2 inter-stage doc_id anti-joins (+1 internal)",
+         cc_plan.count("LeftAnti") >= 3)
     )
     checks.append(
         ("ann plan has no interpreted cast lambda feeding the UDF",
