@@ -125,6 +125,28 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 64, k: int = 3) -> DataF
     return minhash_signatures_from_hashes(shingle_hash_rows(docs, k=k), num_perm)
 
 
+def band_rows(signed: DataFrame, bands: int = 32, rows_per_band: int = 2) -> DataFrame:
+    """(doc_id, band, bh) — one row per LSH band, bh = xxhash64 of that
+    band's signature slice.  Shared by the batch self-join path
+    (lsh_candidate_pairs) and the incremental path (corpus.py), which joins
+    a new batch's band rows against a PERSISTED history band table instead
+    of self-joining the world."""
+    return signed.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(*[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     bands: int = 32,
@@ -148,20 +170,7 @@ def lsh_candidate_pairs(
     None preserves exhaustive semantics for oracle-checked runs."""
     from pyspark.sql import Window
 
-    banded = signed.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    banded = band_rows(signed, bands, rows_per_band)
     if max_bucket is not None:
         w = Window.partitionBy("band", "bh")
         banded = (

@@ -9,6 +9,12 @@
   knob.
 - embedding near-dup pairs: all pairs with cosine >= threshold, candidates
   from the same hyperplane LSH, exact-verified.
+- persisted ANN index (round 5): build_lsh_index / build_ivf_index write the
+  vectors once, PARTITIONED BY bucket / cluster, with the plane matrix /
+  centroids as tiny side tables; lsh_index_topk / ivf_index_topk then answer
+  each query by reading only the probed partitions (partition pruning — no
+  full-table re-hash/re-assign per lookup).  The serving twin of the batch
+  ann_*_topk paths, same results by construction.
 
 Scale shape: all vector math runs in Arrow-batched pandas UDFs (one
 float64 matmul / einsum per batch) — Catalyst higher-order-function lambdas
@@ -246,6 +252,137 @@ def ann_ivf_topk(
         F.col(vec_col).alias("v"),
         assign(F.col(vec_col)).alias("cluster"),
     ).filter(F.col("cluster").isin(probes))
+    cos = cosine_vs_query_udf(query)
+    scored = cands.select("vec_id", F.round(cos(F.col("v")), 6).alias("cos"))
+    return _ranked_topk(scored, k)
+
+
+def _hamming_ball(center: int, n_bits: int, radius: int) -> list[int]:
+    """All n_bits-wide signatures within Hamming distance <= radius of
+    ``center`` — the static probe set for an indexed LSH lookup.  Size is
+    sum_{i<=radius} C(n_bits, i) (37 for 8 planes / radius 2), enumerated
+    driver-side; a radius large enough to blow this up is past the point
+    where LSH pruning helps at all."""
+    from itertools import combinations
+
+    out = [center]
+    for r in range(1, radius + 1):
+        for flips in combinations(range(n_bits), r):
+            sig = center
+            for b in flips:
+                sig ^= 1 << b
+            out.append(sig)
+    return sorted(out)
+
+
+def build_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize a serving LSH index: the vectors written ONCE to parquet
+    PARTITIONED BY their hyperplane bucket, plus the plane matrix as a tiny
+    side table.  This is the 100-TB serving shape: `ann_lsh_topk` re-hashes
+    the whole table on every query (fine for one batch pass, wrong for
+    repeated lookups); a query against this index enumerates its Hamming-ball
+    probe buckets driver-side and reads ONLY those partitions — partition
+    pruning, no full scan, no per-query UDF pass over the table.  Same move
+    as the Gorilla chunk store's metadata-pruned range read."""
+    sample = embeddings.limit(1).collect()
+    dim = len(sample[0][vec_col]) if sample else 0
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = lsh_bucket_udf(planes)
+    spark = embeddings.sparkSession
+    (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            bucket(F.col(vec_col)).alias("bucket"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path + "/vectors")
+    )
+    rows = [(p, [float(x) for x in planes[p]]) for p in range(n_planes)]
+    spark.createDataFrame(rows, "p int, plane array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/planes")
+
+
+def lsh_index_topk(
+    spark, path: str, query: list[float], k: int = 10, multiprobe_bits: int = 1
+) -> DataFrame:
+    """Approximate top-k against a `build_lsh_index` store.  The query's
+    bucket and its <=multiprobe_bits Hamming neighbors become a static IN
+    list on the partition column, so the scan touches only the probed bucket
+    directories (PartitionFilters — verified in PLANS.md); scoring runs on
+    the candidates alone.  Results are identical to `ann_lsh_topk` with the
+    same planes/seed."""
+    prows = spark.read.parquet(path + "/planes").orderBy("p").collect()
+    planes = np.array([r["plane"] for r in prows], dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    qsig = _query_signature(qv, planes)
+    probes = _hamming_ball(qsig, len(prows), multiprobe_bits)
+    cands = spark.read.parquet(path + "/vectors").filter(F.col("bucket").isin(probes))
+    cos = cosine_vs_query_udf(query)
+    scored = cands.select("vec_id", F.round(cos(F.col("v")), 6).alias("cos"))
+    return _ranked_topk(scored, k)
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    max_train_sample: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> None:
+    """Materialize a serving IVF index: centroids trained once on a bounded
+    sample, every vector assigned once and written PARTITIONED BY cluster,
+    centroids stored beside the vectors.  A query then reads only its nprobe
+    nearest clusters (partition pruning) instead of re-training + re-assigning
+    the whole table per lookup, which is what `ann_ivf_topk` does."""
+    if centroids is None:
+        sample = (
+            embeddings.select(vec_col).orderBy(id_col).limit(max_train_sample).collect()
+        )
+        mat = np.array([list(map(float, r[vec_col])) for r in sample])
+        centroids = kmeans_centroids(mat, n_clusters)
+    assign = ivf_assign_udf(centroids)
+    spark = embeddings.sparkSession
+    (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            assign(F.col(vec_col)).alias("cluster"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path + "/vectors")
+    )
+    rows = [(int(c), [float(x) for x in centroids[c]]) for c in range(len(centroids))]
+    spark.createDataFrame(rows, "cluster int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path + "/centroids")
+
+
+def ivf_index_topk(
+    spark, path: str, query: list[float], k: int = 10, nprobe: int = 4
+) -> DataFrame:
+    """Approximate top-k against a `build_ivf_index` store: rank the stored
+    centroids driver-side (n_clusters rows — bounded metadata), read only the
+    nprobe nearest cluster partitions, exact-cosine rerank.  Identical
+    results to `ann_ivf_topk` with the same centroids."""
+    crows = spark.read.parquet(path + "/centroids").orderBy("cluster").collect()
+    centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    qd = ((centroids - qv[None, :]) ** 2).sum(1)
+    probes = [int(crows[i]["cluster"]) for i in np.argsort(qd)[:nprobe]]
+    cands = spark.read.parquet(path + "/vectors").filter(F.col("cluster").isin(probes))
     cos = cosine_vs_query_udf(query)
     scored = cands.select("vec_id", F.round(cos(F.col("v")), 6).alias("cos"))
     return _ranked_topk(scored, k)

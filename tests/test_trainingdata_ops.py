@@ -148,6 +148,39 @@ def test_ann_lsh_recall(spark, embeddings):
         assert abs(truth[r.vec_id] - r.cos) < 1e-9
 
 
+def test_indexed_ann_matches_batch_paths(spark, embeddings, tmp_path):
+    """The persisted-index query paths must return exactly the batch paths'
+    results (same planes/centroids by construction), and the indexed scans
+    must touch only the probed partitions (partition pruning on the bucket /
+    cluster directory column, not a full scan + filter)."""
+    from stl_decomp_4j_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_lsh_topk,
+        build_ivf_index,
+        build_lsh_index,
+        ivf_index_topk,
+        lsh_index_topk,
+    )
+
+    q = [float(x) for x in embeddings.first()["embedding"]]
+
+    lsh_dir = str(tmp_path / "lsh")
+    build_lsh_index(embeddings, lsh_dir, n_planes=8)
+    got = lsh_index_topk(spark, lsh_dir, q, k=5, multiprobe_bits=2)
+    want = ann_lsh_topk(embeddings, q, k=5, multiprobe_bits=2)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan  # pruned scan, not full read
+
+    ivf_dir = str(tmp_path / "ivf")
+    build_ivf_index(embeddings, ivf_dir, n_clusters=8)
+    got = ivf_index_topk(spark, ivf_dir, q, k=5, nprobe=3)
+    want = ann_ivf_topk(embeddings, q, k=5, n_clusters=8, nprobe=3)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster" in plan
+
+
 def test_embedding_near_dup_pairs(spark, embeddings):
     # plant two exact-duplicate vectors
     dup = embeddings.filter(F.col("vec_id") < 2).select(
