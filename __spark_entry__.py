@@ -1088,6 +1088,248 @@ def q_crawl_outages(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# round-5 merged + new queries.
+#
+# The driver's CORRECTNESS harness checks the first 50 queries() entries, so
+# the registry is kept at EXACTLY 50 by merging near-duplicate queries
+# (union with a discriminator column, or a join for per-doc profiles) — the
+# merged query still executes every underlying operator and its oracle is
+# the UNION ALL / join of the original oracle SQL, so no checked surface is
+# lost and every entry now gets a hard-signal row every round.
+# --------------------------------------------------------------------------
+
+def q_gapfill(spark, sf_dir):
+    """Zero-fill + linear-interpolation gap-fill in one checked result
+    (method column); the linear variant's `observed` flag is covered by the
+    value itself (observed hours reproduce cnt exactly)."""
+    zero = q_gapfill_hourly(spark, sf_dir).select(
+        F.lit("zero").alias("method"), "url", "ts", "value"
+    )
+    lin = q_gapfill_linear(spark, sf_dir).select(
+        F.lit("linear").alias("method"), "url", "ts", "value"
+    )
+    return zero.unionByName(lin)
+
+
+def q_ohlc(spark, sf_dir):
+    """Daily candles + the tier-from-tier weekly candles (ohlc_from_tier),
+    tagged by tier."""
+    d = q_ohlc_daily(spark, sf_dir).select(F.lit("1d").alias("tier"), "*")
+    w = q_ohlc_weekly(spark, sf_dir).select(F.lit("1w").alias("tier"), "*")
+    return d.unionByName(w)
+
+
+def q_rollup_tiers(spark, sf_dir):
+    d = q_rollup_daily(spark, sf_dir).select(F.lit("1d").alias("tier"), "*")
+    w = q_rollup_weekly(spark, sf_dir).select(F.lit("1w").alias("tier"), "*")
+    return d.unionByName(w)
+
+
+def q_text_profile(spark, sf_dir):
+    """All four per-doc text functions (token stats, quality, lang-id,
+    fingerprint) in ONE scan — cheaper than the four standalone queries it
+    replaces and each column keeps its own oracle expression."""
+    from stl_decomp_4j_spark.functions.text import (
+        fingerprint,
+        lang_guess,
+        punct_count,
+        quality_score,
+        token_count,
+        word_count,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        word_count(F.col("text")).alias("n_words"),
+        punct_count(F.col("text")).alias("n_punct"),
+        F.length("text").alias("n_chars_measured"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_guess(F.col("text")).alias("lang_guess"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_dedup_exact_sets(spark, sf_dir):
+    """Exact-digest + word-set dedup groups, tagged by method (key = the
+    group digest)."""
+    ex = q_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("method"), F.col("fp").alias("key"), "keep_id", "n_docs"
+    )
+    ws = q_dedup_word_set(spark, sf_dir).select(
+        F.lit("word_set").alias("method"), F.col("sig").alias("key"), "keep_id", "n_docs"
+    )
+    return ex.unionByName(ws)
+
+
+def q_ann(spark, sf_dir):
+    """Brute-force, LSH and IVF top-k against the same query vector, tagged
+    by method — the three ANN strategies checked in one row set."""
+    b = q_ann_topk(spark, sf_dir).select(F.lit("brute").alias("method"), "vec_id", "rank")
+    l = q_ann_lsh(spark, sf_dir).select(F.lit("lsh").alias("method"), "vec_id", "rank")
+    i = q_ann_ivf(spark, sf_dir).select(F.lit("ivf").alias("method"), "vec_id", "rank")
+    return b.unionByName(l).unionByName(i)
+
+
+def ann_index_setup(spark, sf_dir, idx_dir):
+    """Bench helper (not a driver query): materialize the LSH + IVF serving
+    indexes once so bench.py can time index-build (setup) separately from
+    the partition-pruned lookups — an index is written once and queried many
+    times.  Returns the query vector."""
+    from stl_decomp_4j_spark.operators.similarity import build_ivf_index, build_lsh_index
+
+    emb = spark.read.parquet(_t(sf_dir, "embeddings"))
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    build_lsh_index(emb, idx_dir + "/lsh", n_planes=8)
+    build_ivf_index(emb, idx_dir + "/ivf", n_clusters=16)
+    return q
+
+
+def ann_indexed_from_store(spark, idx_dir, q):
+    """The pruned lookups against a materialized ANN index: only the probed
+    bucket / cluster partitions are read (PartitionFilters)."""
+    from stl_decomp_4j_spark.operators.similarity import ivf_index_topk, lsh_index_topk
+
+    lsh = lsh_index_topk(spark, idx_dir + "/lsh", q, k=10, multiprobe_bits=2).select(
+        F.lit("lsh").alias("method"), "vec_id", "rank"
+    )
+    ivf = ivf_index_topk(spark, idx_dir + "/ivf", q, k=10, nprobe=4).select(
+        F.lit("ivf").alias("method"), "vec_id", "rank"
+    )
+    return lsh.unionByName(ivf)
+
+
+def q_ann_indexed(spark, sf_dir):
+    """Persisted-ANN-index serving path: vectors written once partitioned by
+    LSH bucket / IVF cluster, then looked up via partition-pruned reads —
+    results identical to the batch q_ann paths (same planes / centroids), so
+    the same DuckDB recomputation oracles apply."""
+    import tempfile
+
+    idx_dir = tempfile.mkdtemp(prefix="ann_index_")
+    q = ann_index_setup(spark, sf_dir, idx_dir)
+    return ann_indexed_from_store(spark, idx_dir, q)
+
+
+def q_multimodal(spark, sf_dir):
+    """Feature extraction over all media joined with the image-only resize
+    geometry/digest (nulls for non-images) — one checked row per media."""
+    feats = q_multimodal_features(spark, sf_dir)
+    rs = q_multimodal_resize(spark, sf_dir).select(
+        "media_id", "out_width", "out_height", "resized_md5"
+    )
+    return feats.join(rs, "media_id", "left")
+
+
+def q_stl_periodic_both(spark, sf_dir):
+    """A23 diagnostics: strictly-periodic and robust-periodic decompositions
+    tagged by variant (weight is NULL for the non-robust variant)."""
+    p = q_stl_periodic(spark, sf_dir).select(
+        F.lit("periodic").alias("variant"),
+        "url",
+        "ts",
+        "trend",
+        "seasonal",
+        F.lit(None).cast("double").alias("weight"),
+    )
+    r = q_stl_robust_periodic(spark, sf_dir).select(
+        F.lit("robust").alias("variant"), "url", "ts", "trend", "seasonal", "weight"
+    )
+    return p.unionByName(r)
+
+
+def q_tier_route(spark, sf_dir):
+    """Both tier-routed reads (month -> 1d tier with a url subset; pruned
+    3-week window -> 1w tier) from ONE tier build, tagged by grain."""
+    import datetime as dt
+
+    from stl_decomp_4j_spark.operators.serve import serve_rollup
+
+    tiers = _stl_tiers(spark, sf_dir)
+    month = _round_tier(
+        serve_rollup(tiers, "month", urls=["click", "error", "purchase"])
+    ).select(F.lit("month").alias("grain"), "*")
+    wk0 = (
+        spark.read.parquet(_t(sf_dir, "events"))
+        .agg(F.date_trunc("week", F.min("ts")))
+        .first()[0]
+    )
+    week = _round_tier(
+        serve_rollup(
+            tiers,
+            "week",
+            ts_min=wk0 + dt.timedelta(days=7),
+            ts_max=wk0 + dt.timedelta(days=21),
+        )
+    ).select(F.lit("week").alias("grain"), "*")
+    return month.unionByName(week)
+
+
+def q_corpus_clean_incremental(spark, sf_dir):
+    """Incremental corpus dedup: documents split by doc_id midpoint into
+    HISTORY (fingerprint store built once, text then never touched again)
+    and a NEW batch deduped against the store — exact digest anti-join,
+    store-seeded lag-1 snapshot window, history band join + exact-Jaccard
+    verify, then new-vs-new keep-one.  The oracle chains old+new tables in
+    DuckDB (history ids sort before new ids, so the shared inverted gram
+    index splits pairs into cross and in-batch by id alone)."""
+    import tempfile
+
+    from stl_decomp_4j_spark.operators.corpus import (
+        build_fingerprint_store,
+        dedup_corpus_incremental,
+    )
+
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    split = (int(lo) + int(hi)) // 2
+    store = tempfile.mkdtemp(prefix="fpstore_")
+    build_fingerprint_store(docs.filter(F.col("doc_id") <= split), store, snapshot_key="source")
+    return dedup_corpus_incremental(
+        docs.filter(F.col("doc_id") > split),
+        store,
+        snapshot_key="source",
+        snapshot_max_hamming=4,
+        minhash_threshold=0.5,
+        minhash_k=3,
+    )
+
+
+def q_snapshot_stream(spark, sf_dir):
+    """Batch-equivalence check of the STATEFUL STREAMING snapshot-dedup twin
+    (streaming/snapshots.py): fingerprint rows materialized to parquet, a
+    real Structured Streaming query (applyInPandasWithState, availableNow
+    trigger, checkpointed exactly-once parquet sink) consumes them, and the
+    sink is read back.  The oracle is the BATCH snapshot_dedup SQL — stream
+    output must equal the batch lag-1 window."""
+    import tempfile
+
+    from stl_decomp_4j_spark.operators.dedup import simhash
+    from stl_decomp_4j_spark.streaming.snapshots import (
+        SNAPSHOT_IN_SCHEMA,
+        stream_snapshot_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="snapstream_")
+    docs = spark.read.parquet(_t(sf_dir, "documents"))
+    rows = simhash(docs, carry_cols=("source",)).select("source", "doc_id", "simhash")
+    rows.write.mode("overwrite").parquet(work + "/in")
+    src = spark.readStream.schema(SNAPSHOT_IN_SCHEMA).parquet(work + "/in")
+    q = (
+        stream_snapshot_dedup(src, max_hamming=4)
+        .writeStream.format("parquet")
+        .option("path", work + "/out")
+        .option("checkpointLocation", work + "/ckpt")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(work + "/out")
+
+
+# --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
 
@@ -1099,71 +1341,257 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """EXACTLY 50 entries — the driver's CORRECTNESS harness checks the
+    first 50, so at 50 every query gets a hard-signal row every round (the
+    r3/r4 rotation defect).  Near-duplicate queries are merged (union with a
+    discriminator / one-scan profile join) rather than dropped, so every
+    underlying operator still executes and hash-checks; ordering puts the
+    entries without an r4 driver row first (never-checked, then r4-rotated,
+    then new this round) as belt-and-braces against any future cap change.
+    q_stl_tier_1d (the unfused twin) left the registry: it is row-identical
+    to stl_tier_1d_fused by construction and pinned by a pytest equivalence
+    test instead of a second full STL run per gate."""
     return {
-        "bucketize_hourly": q_bucketize_hourly,
-        "gapfill_hourly": q_gapfill_hourly,
-        "gapfill_linear": q_gapfill_linear,
-        "asof_serving": q_asof_serving,
-        "twa_daily": q_twa_daily,
-        "counter_rate_daily": q_counter_rate_daily,
-        "ohlc_daily": q_ohlc_daily,
-        "ohlc_weekly": q_ohlc_weekly,
-        "stats_daily": q_stats_daily,
-        "crawl_sessions": q_crawl_sessions,
-        "hist_daily": q_hist_daily,
-        "top_urls_daily": q_top_urls_daily,
-        "pctl_daily": q_pctl_daily,
-        "rollup_daily": q_rollup_daily,
-        "rollup_weekly": q_rollup_weekly,
-        "sma_24h": q_sma_24h,
-        "pricing_summary": q_pricing_summary,
-        "top_customers": q_top_customers,
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "lang_guess": q_lang_guess,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact": q_dedup_exact,
-        "dedup_word_set": q_dedup_word_set,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_spans": q_dedup_spans,
-        "dedup_span_strip": q_dedup_span_strip,
-        "dedup_components": q_dedup_components,
-        "embedding_near_dup_bf": q_embedding_near_dup_bf,
-        "ann_topk": q_ann_topk,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "simhash_pairs": q_simhash_pairs,
-        "snapshot_dedup": q_snapshot_dedup,
-        "snapshot_churn": q_snapshot_churn,
-        "corpus_clean": q_corpus_clean,
-        "stl_decompose_events": q_stl_decompose_events,
-        "stl_tier_1d": q_stl_tier_1d,
-        "stl_tier_1d_fused": q_stl_tier_1d_fused,
-        "stl_fit_stats": q_stl_fit_stats,
-        "stl_periodic": q_stl_periodic,
-        "stl_robust_periodic": q_stl_robust_periodic,
-        "stl_seasonal_smooth": q_stl_seasonal_smooth,
-        "stl_exogenous": q_stl_exogenous,
-        "gorilla_roundtrip": q_gorilla_roundtrip,
-        "gorilla_range_read": q_gorilla_range_read,
-        "gorilla_compact": q_gorilla_compact,
-        "multimodal_features": q_multimodal_features,
-        "multimodal_resize": q_multimodal_resize,
-        "tier_route_month": q_tier_route_month,
-        "tier_route_week": q_tier_route_week,
-        "stl_anomalies": q_stl_anomalies,
-        "stl_forecast": q_stl_forecast,
-        "stl_backtest": q_stl_backtest,
+        # -- never driver-checked before round 5 --------------------------
         "lttb_downsample": q_lttb_downsample,
         "tier_audit": q_tier_audit,
         "stl_strength": q_stl_strength,
         "stl_changepoints": q_stl_changepoints,
         "crawl_outages": q_crawl_outages,
+        # -- rotated out of the r4 snapshot -------------------------------
+        "tier_route": q_tier_route,
+        "stl_anomalies": q_stl_anomalies,
+        "stl_forecast": q_stl_forecast,
+        "stl_backtest": q_stl_backtest,
+        # -- new in round 5 ------------------------------------------------
+        "ann_indexed": q_ann_indexed,
+        "corpus_clean_incremental": q_corpus_clean_incremental,
+        "snapshot_stream": q_snapshot_stream,
+        # -- series core ----------------------------------------------------
+        "bucketize_hourly": q_bucketize_hourly,
+        "gapfill": q_gapfill,
+        "asof_serving": q_asof_serving,
+        "twa_daily": q_twa_daily,
+        "counter_rate_daily": q_counter_rate_daily,
+        "ohlc": q_ohlc,
+        "stats_daily": q_stats_daily,
+        "crawl_sessions": q_crawl_sessions,
+        "hist_daily": q_hist_daily,
+        "top_urls_daily": q_top_urls_daily,
+        "pctl_daily": q_pctl_daily,
+        "rollup_tiers": q_rollup_tiers,
+        "sma_24h": q_sma_24h,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        # -- text / dedup / similarity ---------------------------------------
+        "text_profile": q_text_profile,
+        "dedup_exact": q_dedup_exact_sets,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_spans": q_dedup_spans,
+        "dedup_span_strip": q_dedup_span_strip,
+        "dedup_components": q_dedup_components,
+        "embedding_near_dup_bf": q_embedding_near_dup_bf,
+        "ann_topk": q_ann,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "snapshot_dedup": q_snapshot_dedup,
+        "snapshot_churn": q_snapshot_churn,
+        "corpus_clean": q_corpus_clean,
+        # -- STL family -------------------------------------------------------
+        "stl_decompose_events": q_stl_decompose_events,
+        "stl_tier_1d_fused": q_stl_tier_1d_fused,
+        "stl_fit_stats": q_stl_fit_stats,
+        "stl_periodic": q_stl_periodic_both,
+        "stl_seasonal_smooth": q_stl_seasonal_smooth,
+        "stl_exogenous": q_stl_exogenous,
+        # -- gorilla store / multimodal ----------------------------------------
+        "gorilla_roundtrip": q_gorilla_roundtrip,
+        "gorilla_range_read": q_gorilla_range_read,
+        "gorilla_compact": q_gorilla_compact,
+        "multimodal": q_multimodal,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    """Oracles for the 50-entry registry.  Merged queries reuse the original
+    per-operator SQL verbatim (UNION ALL with the same discriminator literal
+    the Spark side adds, or a join for the one-scan profiles), so every
+    operator keeps its independently-derived oracle."""
+    base = _oracle_base()
+    fix = str(Path(__file__).resolve().parent / "tests" / "fixtures" / "oracle")
+
+    def tag(dcol: str, val: str, sql: str, cols: str = "*") -> str:
+        return f"SELECT '{val}' AS {dcol}, {cols} FROM ({sql})"
+
+    merged = {
+        "gapfill": tag("method", "zero", base["gapfill_hourly"])
+        + " UNION ALL "
+        + tag("method", "linear", base["gapfill_linear"], "url, ts, value"),
+        "ohlc": tag("tier", "1d", base["ohlc_daily"])
+        + " UNION ALL "
+        + tag("tier", "1w", base["ohlc_weekly"]),
+        "rollup_tiers": tag("tier", "1d", base["rollup_daily"])
+        + " UNION ALL "
+        + tag("tier", "1w", base["rollup_weekly"]),
+        "tier_route": tag("grain", "month", base["tier_route_month"])
+        + " UNION ALL "
+        + tag("grain", "week", base["tier_route_week"]),
+        "dedup_exact": tag("method", "exact", base["dedup_exact"], "fp AS key, keep_id, n_docs")
+        + " UNION ALL "
+        + tag("method", "word_set", base["dedup_word_set"], "sig AS key, keep_id, n_docs"),
+        "ann_topk": tag("method", "brute", base["ann_topk"])
+        + " UNION ALL "
+        + tag("method", "lsh", base["ann_lsh"])
+        + " UNION ALL "
+        + tag("method", "ivf", base["ann_ivf"]),
+        # indexed serving path returns identical rows to the batch LSH/IVF
+        # paths (same planes fixture / same centroid training), so the same
+        # independent DuckDB recomputations are its oracle
+        "ann_indexed": tag("method", "lsh", base["ann_lsh"])
+        + " UNION ALL "
+        + tag("method", "ivf", base["ann_ivf"]),
+        "text_profile": f"""
+            SELECT t.doc_id, t.n_tokens, t.n_words, t.n_punct, t.n_chars_measured,
+                   q.quality, l.lang_guess, f.fp
+            FROM ({base["text_token_stats"]}) t
+            JOIN ({base["text_quality"]}) q USING (doc_id)
+            JOIN ({base["lang_guess"]}) l USING (doc_id)
+            JOIN ({base["doc_fingerprint"]}) f USING (doc_id)
+        """,
+        "multimodal": f"""
+            SELECT f.media_id, f.kind, f.width, f.height, f.n_frames, f.f0,
+                   r.out_width, r.out_height, r.resized_md5
+            FROM ({base["multimodal_features"]}) f
+            LEFT JOIN ({base["multimodal_resize"]}) r ON f.media_id = r.media_id
+        """,
+        "stl_periodic": tag(
+            "variant",
+            "periodic",
+            base["stl_periodic"],
+            "url, ts, trend, seasonal, CAST(NULL AS DOUBLE) AS weight",
+        )
+        + " UNION ALL "
+        + tag("variant", "robust", base["stl_robust_periodic"]),
+        "snapshot_stream": base["snapshot_dedup"],
+        "corpus_clean_incremental": f"""
+            WITH RECURSIVE
+            split AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS s FROM documents),
+            fx AS (
+                SELECT doc_id, simhash FROM read_parquet('{fix}/simhash.parquet')
+                WHERE sum_chars = (SELECT sum(n_chars) FROM documents)
+            ),
+            old AS (SELECT d.* FROM documents d, split WHERE d.doc_id <= split.s),
+            new AS (SELECT d.* FROM documents d, split WHERE d.doc_id > split.s),
+            -- stage 1: in-batch exact keep-lowest + digest anti-join vs history
+            nb AS (
+                SELECT * FROM new
+                QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+            ),
+            ex AS (
+                SELECT * FROM nb
+                WHERE md5(text) NOT IN (SELECT md5(text) FROM old)
+            ),
+            -- stage 2: lag-1 simhash per source seeded by history's LAST snapshot
+            lastold AS (
+                SELECT o.source, max(o.doc_id) AS doc_id,
+                       arg_max(fx.simhash, o.doc_id) AS simhash
+                FROM old o JOIN fx USING (doc_id) GROUP BY o.source
+            ),
+            un AS (
+                SELECT e.source, e.doc_id, fx.simhash, FALSE AS hist
+                FROM ex e JOIN fx USING (doc_id)
+                UNION ALL
+                SELECT source, doc_id, simhash, TRUE FROM lastold
+            ),
+            lg AS (
+                SELECT *, lag(simhash) OVER (PARTITION BY source ORDER BY doc_id) AS prev
+                FROM un
+            ),
+            sn AS (
+                SELECT e.* FROM ex e JOIN lg ON e.doc_id = lg.doc_id
+                WHERE lg.prev IS NULL OR bit_count(xor(lg.simhash, lg.prev)) > 4
+            ),
+            -- stage 3: exact-Jaccard near-dup — shared inverted gram index over
+            -- ALL documents; history ids sort before new ids, so id alone
+            -- splits pairs into cross (id_a old) and in-batch (id_a new)
+            shs AS (
+                SELECT doc_id, list_distinct([
+                    lower(words[i]) || ' ' || lower(words[i+1]) || ' ' || lower(words[i+2])
+                    FOR i IN range(1, len(words) - 1)
+                ]) AS sh
+                FROM (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\S+') AS words
+                      FROM documents)
+                WHERE len(words) >= 3
+            ),
+            shx AS (SELECT doc_id, unnest(sh) AS gr FROM shs),
+            shn AS (SELECT doc_id, len(sh) AS n FROM shs),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                FROM shx a JOIN shx b ON a.gr = b.gr AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ),
+            jac AS (
+                SELECT id_a, id_b,
+                       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS j
+                FROM inter
+                JOIN shn sa ON sa.doc_id = inter.id_a
+                JOIN shn sb ON sb.doc_id = inter.id_b
+            ),
+            -- 3a: drop stage-2 survivors matching HISTORY at >= 0.5
+            dh AS (
+                SELECT DISTINCT j.id_b AS doc_id
+                FROM jac j, split
+                WHERE j.j >= 0.5 AND j.id_a <= split.s
+                  AND j.id_b IN (SELECT doc_id FROM sn)
+            ),
+            s3 AS (SELECT * FROM sn WHERE doc_id NOT IN (SELECT doc_id FROM dh)),
+            -- 3b: new-vs-new pairs among the remainder -> CC keep-minimum
+            prs AS (
+                SELECT j.id_a, j.id_b FROM jac j, split
+                WHERE j.j >= 0.5 AND j.id_a > split.s
+                  AND j.id_a IN (SELECT doc_id FROM s3)
+                  AND j.id_b IN (SELECT doc_id FROM s3)
+            ),
+            e2 AS (SELECT id_a AS u, id_b AS v FROM prs UNION SELECT id_b, id_a FROM prs),
+            reach(node, label) AS (
+                SELECT u, u FROM e2
+                UNION
+                SELECT e2.v, r.label FROM reach r JOIN e2 ON e2.u = r.node
+            ),
+            noncanon AS (
+                SELECT node FROM reach GROUP BY node HAVING min(label) <> node
+            )
+            SELECT * FROM s3 WHERE doc_id NOT IN (SELECT node FROM noncanon)
+        """,
+    }
+    out = dict(base)
+    for dropped in (
+        "gapfill_hourly",
+        "gapfill_linear",
+        "ohlc_daily",
+        "ohlc_weekly",
+        "rollup_daily",
+        "rollup_weekly",
+        "tier_route_month",
+        "tier_route_week",
+        "dedup_word_set",
+        "ann_lsh",
+        "ann_ivf",
+        "text_token_stats",
+        "text_quality",
+        "lang_guess",
+        "doc_fingerprint",
+        "multimodal_features",
+        "multimodal_resize",
+        "stl_robust_periodic",
+        "stl_tier_1d",
+    ):
+        out.pop(dropped)
+    out.update(merged)
+    return out
+
+
+def _oracle_base() -> dict[str, str]:
     hourly = (
         "SELECT event_type AS url, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ts, "
         "count(*) AS cnt FROM events GROUP BY 1, 2"

@@ -14,28 +14,34 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+# Round-5 registry merge renamed/merged several keys (BENCH_r05 vs r04 is
+# disclosed as not like-for-like on those rows): gapfill = old gapfill_hourly
+# + gapfill_linear; rollup_tiers = rollup_daily + rollup_weekly; text_profile
+# = all four text queries in ONE scan; dedup_exact += word_set; ann_topk now
+# unions brute+lsh+ivf; tier_route = month+week from ONE tier build;
+# stl_tier_1d (unfused twin) left the suite — the fused kernel is the
+# production path, the twin is pytest-pinned row-identical.
 HEADLINE = [
     "bucketize_hourly",
-    "gapfill_hourly",
-    "rollup_daily",
-    "rollup_weekly",
+    "gapfill",
+    "rollup_tiers",
     "sma_24h",
     "stl_decompose_events",
-    "stl_tier_1d",
     "stl_tier_1d_fused",
     "gorilla_roundtrip",
     "gorilla_range_read",
     "pricing_summary",
     "top_customers",
-    "text_token_stats",
+    "text_profile",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_spans",
     "dedup_span_strip",
     "simhash_pairs",
     "ann_topk",
+    "ann_indexed",
     "embedding_near_dup_lsh",
-    "tier_route_month",
+    "tier_route",
     "stl_anomalies",
 ]
 
@@ -78,11 +84,26 @@ def main() -> None:
     def _range_read(spark, _sf_dir):
         return entry_mod.gorilla_range_read_from_store(spark, store_dir, *probe)
 
+    # ann_indexed: index build is write-once setup (same split as the
+    # gorilla store) — the headline row times the partition-pruned lookups.
+    idx_dir = tempfile.mkdtemp(prefix="bench_ann_index_")
+    t0 = time.time()
+    qvec = entry_mod.ann_index_setup(spark, sf_dir, idx_dir)
+    setup_queries["ann_index_setup"] = round(time.time() - t0, 3)
+
+    def _ann_indexed(spark, _sf_dir):
+        return entry_mod.ann_indexed_from_store(spark, idx_dir, qvec)
+
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for pass_no in (1, 2):
         for name in HEADLINE:
-            fn = _range_read if name == "gorilla_range_read" else qs[name]
+            if name == "gorilla_range_read":
+                fn = _range_read
+            elif name == "ann_indexed":
+                fn = _ann_indexed
+            else:
+                fn = qs[name]
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             took = round(time.time() - t0, 3)
@@ -103,9 +124,11 @@ def main() -> None:
                 "queries": timings,
                 "protocol": (
                     "best-of-2 per query (cold pass disclosed in cold_queries); "
-                    "gorilla_range_read times the pruned read from a materialized "
-                    "store — the one-time store build is disclosed in setup_queries "
-                    "and excluded from value"
+                    "gorilla_range_read / ann_indexed time the pruned read against "
+                    "a materialized store/index — the one-time builds are disclosed "
+                    "in setup_queries and excluded from value; round-5 registry "
+                    "merges make some rows non-comparable to BENCH_r04 keys (see "
+                    "HEADLINE comment)"
                 ),
                 "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,
