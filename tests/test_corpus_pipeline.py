@@ -99,3 +99,57 @@ def test_dedup_job_main(spark, corpus, tmp_path, monkeypatch, capsys):
     assert summary["stages"]["after_span_strip"] == 4
     cleaned = spark.read.parquet(out).toPandas()
     assert sorted(cleaned["doc_id"]) == [1, 4, 6, 7]
+
+
+def test_dedup_job_incremental_flow(spark, tmp_path, monkeypatch, capsys):
+    """spark-submit surface for the round-5 incremental mode: --build-store
+    fingerprints history, --store cleans a new batch against it, and
+    --update-store folds survivors in so a later batch dedups against both."""
+    import jobs.dedup_job as dj
+
+    def run(argv):
+        monkeypatch.setattr("sys.argv", ["dedup_job.py", *argv])
+        dj.main()
+        line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        return json.loads(line)
+
+    hist_doc = "the quick brown fox jumps over the lazy dog again and again"
+    hist = str(tmp_path / "hist")
+    store = str(tmp_path / "fpstore")
+    spark.createDataFrame(
+        [(1, hist_doc, "s1")], ["doc_id", "text", "source"]
+    ).write.parquet(hist)
+    built = run(["--input", hist, "--build-store", store, "--snapshot-key", "source"])
+    assert built == {"input": hist, "store": store, "built": True}
+
+    batch1 = str(tmp_path / "b1")
+    out1 = str(tmp_path / "out1")
+    spark.createDataFrame(
+        [
+            (10, hist_doc, "s2"),  # exact copy of history -> dropped
+            (11, "a genuinely new document with enough words to shingle here", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    ).write.parquet(batch1)
+    summary = run([
+        "--input", batch1, "--output", out1, "--store", store,
+        "--update-store", "--snapshot-key", "source", "--minhash-threshold", "0.5",
+    ])
+    assert summary["stages"]["after_exact"] == 1
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out1).collect()) == [11]
+
+    # batch 2 dedups against history + batch-1 survivors (store was updated)
+    batch2 = str(tmp_path / "b2")
+    out2 = str(tmp_path / "out2")
+    spark.createDataFrame(
+        [
+            (20, "a genuinely new document with enough words to shingle here", "s3"),
+            (21, "batch two adds one more unique document to the growing corpus", "s3"),
+        ],
+        ["doc_id", "text", "source"],
+    ).write.parquet(batch2)
+    run([
+        "--input", batch2, "--output", out2, "--store", store,
+        "--snapshot-key", "source", "--minhash-threshold", "0.5",
+    ])
+    assert sorted(r["doc_id"] for r in spark.read.parquet(out2).collect()) == [21]
