@@ -181,6 +181,36 @@ def test_indexed_ann_matches_batch_paths(spark, embeddings, tmp_path):
     assert "PartitionFilters: [cluster" in plan
 
 
+def test_ann_job_build_and_query(spark, embeddings, tmp_path, monkeypatch, capsys):
+    """spark-submit surface for the serving index: --build writes both
+    indexes, --query answers a vec-id lookup with the same rows as the
+    operator paths."""
+    import json as _json
+
+    import jobs.ann_job as aj
+    from stl_decomp_4j_spark.operators.similarity import ivf_index_topk, lsh_index_topk
+
+    emb_path = str(tmp_path / "emb")
+    embeddings.write.parquet(emb_path)
+    idx = str(tmp_path / "idx")
+
+    def run(argv):
+        monkeypatch.setattr("sys.argv", ["ann_job.py", *argv])
+        aj.main()
+        line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+        return _json.loads(line)
+
+    built = run(["--build", "--input", emb_path, "--index", idx])
+    assert built == {"index": idx, "built": ["lsh", "ivf"]}
+
+    out = run(["--query", "--index", idx, "--vec-id", "1", "--input", emb_path, "--k", "5"])
+    q = [float(x) for x in embeddings.filter(F.col("vec_id") == 1).first()["embedding"]]
+    want_lsh = [r.asDict() for r in lsh_index_topk(spark, idx + "/lsh", q, k=5).collect()]
+    want_ivf = [r.asDict() for r in ivf_index_topk(spark, idx + "/ivf", q, k=5).collect()]
+    assert out["results"]["lsh"] == want_lsh
+    assert out["results"]["ivf"] == want_ivf
+
+
 def test_embedding_near_dup_pairs(spark, embeddings):
     # plant two exact-duplicate vectors
     dup = embeddings.filter(F.col("vec_id") < 2).select(
