@@ -7,6 +7,11 @@
         --build --input /path/to/embeddings.parquet --index /warehouse/ann \
         [--kind lsh|ivf|both] [--n-planes 8] [--n-clusters 16]
 
+    # per crawl: append new vectors (stored planes/centroids assign them —
+    # no rebuild, no re-read of the existing corpus)
+    ... ann_job.py --extend --input /path/to/new_embeddings.parquet \
+        --index /warehouse/ann [--kind lsh|ivf|both]
+
     # per query: partition-pruned top-k lookups against the stored index
     ... ann_job.py --query --index /warehouse/ann --vec-id 42 \
         --input /path/to/embeddings.parquet [--kind lsh] [--k 10] \
@@ -28,6 +33,8 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build", action="store_true")
+    ap.add_argument("--extend", action="store_true",
+                    help="append --input vectors to an existing index (stored planes/centroids assign; no rebuild)")
     ap.add_argument("--query", action="store_true")
     ap.add_argument("--input", default=None, help="embeddings parquet (build; or --vec-id lookup)")
     ap.add_argument("--index", required=True, help="index root (gets /lsh and /ivf subdirs)")
@@ -43,16 +50,18 @@ def main() -> None:
     ap.add_argument("--nprobe", type=int, default=4)
     ap.add_argument("--output", default=None)
     args = ap.parse_args()
-    if args.build == args.query:
-        ap.error("exactly one of --build / --query")
-    if args.build and not args.input:
-        ap.error("--build requires --input")
+    if sum([args.build, args.extend, args.query]) != 1:
+        ap.error("exactly one of --build / --extend / --query")
+    if (args.build or args.extend) and not args.input:
+        ap.error("--build/--extend require --input")
 
     from pyspark.sql import SparkSession
 
     from stl_decomp_4j_spark.operators.similarity import (
         build_ivf_index,
         build_lsh_index,
+        extend_ivf_index,
+        extend_lsh_index,
         ivf_index_topk,
         lsh_index_topk,
     )
@@ -77,6 +86,16 @@ def main() -> None:
             )
             built.append("ivf")
         print(json.dumps({"index": args.index, "built": built}))
+    elif args.extend:
+        emb = spark.read.parquet(args.input)
+        extended = []
+        if args.kind in ("lsh", "both"):
+            extend_lsh_index(emb, args.index + "/lsh", id_col=args.id_col, vec_col=args.vec_col)
+            extended.append("lsh")
+        if args.kind in ("ivf", "both"):
+            extend_ivf_index(emb, args.index + "/ivf", id_col=args.id_col, vec_col=args.vec_col)
+            extended.append("ivf")
+        print(json.dumps({"index": args.index, "extended": extended}))
     else:
         if args.vector is not None:
             q = [float(x) for x in json.loads(args.vector)]

@@ -312,6 +312,60 @@ def build_lsh_index(
     ).parquet(path + "/planes")
 
 
+def extend_lsh_index(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch to a `build_lsh_index` store WITHOUT rebuilding:
+    the stored plane matrix (tiny side table) hashes the new vectors, which
+    append to their bucket partitions.  At 100 TB an index is written once
+    and extended per crawl — rebuilding would re-read the full corpus for
+    every batch.  Bucketing stays identical to a from-scratch build because
+    the planes are fixed at build time."""
+    spark = new_embeddings.sparkSession
+    prows = spark.read.parquet(path + "/planes").orderBy("p").collect()
+    planes = np.array([r["plane"] for r in prows], dtype=np.float64)
+    bucket = lsh_bucket_udf(planes)
+    (
+        new_embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            bucket(F.col(vec_col)).alias("bucket"),
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path + "/vectors")
+    )
+
+
+def extend_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch to a `build_ivf_index` store: the STORED centroids
+    assign the new vectors (no re-training — cluster geometry is fixed at
+    build time, the standard IVF maintenance contract), which append to
+    their cluster partitions."""
+    spark = new_embeddings.sparkSession
+    crows = spark.read.parquet(path + "/centroids").orderBy("cluster").collect()
+    centroids = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    assign = ivf_assign_udf(centroids)
+    (
+        new_embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("v"),
+            assign(F.col(vec_col)).alias("cluster"),
+        )
+        .write.mode("append")
+        .partitionBy("cluster")
+        .parquet(path + "/vectors")
+    )
+
+
 def lsh_index_topk(
     spark, path: str, query: list[float], k: int = 10, multiprobe_bits: int = 1
 ) -> DataFrame:

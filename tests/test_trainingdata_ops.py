@@ -181,6 +181,46 @@ def test_indexed_ann_matches_batch_paths(spark, embeddings, tmp_path):
     assert "PartitionFilters: [cluster" in plan
 
 
+def test_extend_index_equals_full_build(spark, embeddings, tmp_path):
+    """Appending a batch to an existing index must give the same lookups as
+    building from the union: LSH planes are seed-deterministic, IVF extends
+    with the STORED centroids (compared against a union build seeded with
+    those same centroids)."""
+    from stl_decomp_4j_spark.operators.similarity import (
+        build_ivf_index,
+        build_lsh_index,
+        extend_ivf_index,
+        extend_lsh_index,
+        ivf_index_topk,
+        lsh_index_topk,
+    )
+
+    half1 = embeddings.filter(F.col("vec_id") % 2 == 0)
+    half2 = embeddings.filter(F.col("vec_id") % 2 == 1)
+    q = [float(x) for x in embeddings.first()["embedding"]]
+
+    inc = str(tmp_path / "lsh_inc")
+    full = str(tmp_path / "lsh_full")
+    build_lsh_index(half1, inc)
+    extend_lsh_index(half2, inc)
+    build_lsh_index(embeddings, full)
+    got = [tuple(r) for r in lsh_index_topk(spark, inc, q, k=5, multiprobe_bits=2).collect()]
+    want = [tuple(r) for r in lsh_index_topk(spark, full, q, k=5, multiprobe_bits=2).collect()]
+    assert got == want
+
+    inc = str(tmp_path / "ivf_inc")
+    full = str(tmp_path / "ivf_full")
+    build_ivf_index(half1, inc, n_clusters=8)
+    extend_ivf_index(half2, inc)
+    cent = np.array(
+        [r["centroid"] for r in spark.read.parquet(inc + "/centroids").orderBy("cluster").collect()]
+    )
+    build_ivf_index(embeddings, full, n_clusters=8, centroids=cent)
+    got = [tuple(r) for r in ivf_index_topk(spark, inc, q, k=5, nprobe=3).collect()]
+    want = [tuple(r) for r in ivf_index_topk(spark, full, q, k=5, nprobe=3).collect()]
+    assert got == want
+
+
 def test_ann_job_build_and_query(spark, embeddings, tmp_path, monkeypatch, capsys):
     """spark-submit surface for the serving index: --build writes both
     indexes, --query answers a vec-id lookup with the same rows as the
