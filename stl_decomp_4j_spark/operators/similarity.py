@@ -14,7 +14,9 @@
   centroids as tiny side tables; lsh_index_topk / ivf_index_topk then answer
   each query by reading only the probed partitions (partition pruning — no
   full-table re-hash/re-assign per lookup).  The serving twin of the batch
-  ann_*_topk paths, same results by construction.
+  ann_*_topk paths, same results by construction.  extend_lsh_index /
+  extend_ivf_index append new batches via the STORED planes / centroids
+  (per-crawl maintenance — never re-reads or rebuilds the existing index).
 
 Scale shape: all vector math runs in Arrow-batched pandas UDFs (one
 float64 matmul / einsum per batch) — Catalyst higher-order-function lambdas
