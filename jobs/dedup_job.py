@@ -4,7 +4,11 @@
     spark-submit --py-files dist/stl_decomp_4j_spark.zip jobs/dedup_job.py \
         --input /path/to/documents.parquet --output /path/to/cleaned \
         [--snapshot-key source] [--minhash-threshold 0.8] [--max-bucket 10000] \
-        [--strip-spans-k 5] [--no-stats]
+        [--strip-spans-k 5] [--lang en] [--min-quality 0.5] [--no-stats]
+
+--lang / --min-quality pre-filter the corpus with the codegen text
+heuristics (functions/text.py) BEFORE any dedup stage — filtered docs never
+reach the shingle/band machinery; the stats "input" count is post-filter.
 
 Runs the composed dedup pipeline (exact -> temporal snapshot -> near-dup
 keep-one -> repeated-span removal; see operators/corpus.py) over a documents
@@ -49,6 +53,10 @@ def main() -> None:
     ap.add_argument("--max-bucket", type=int, default=None, help="LSH hot-bucket cap (skew valve)")
     ap.add_argument("--strip-spans-k", type=int, default=None, help="span-removal k-gram size; omit to skip")
     ap.add_argument("--no-stats", action="store_true")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="drop docs below this quality_score (functions/text.py heuristic, [0,1])")
+    ap.add_argument("--lang", default=None,
+                    help="keep only docs whose lang_guess matches (e.g. en)")
     ap.add_argument("--build-store", default=None, metavar="PATH",
                     help="fingerprint --input into a store at PATH and exit (no cleaning)")
     ap.add_argument("--store", default=None, metavar="PATH",
@@ -73,6 +81,20 @@ def main() -> None:
     pre_existing = SparkSession.getActiveSession()
     spark = pre_existing or build_session(app_name="stl-dedup-corpus")
     docs = spark.read.parquet(args.input)
+
+    # language / quality pre-filters: production training-data pipelines
+    # filter BEFORE dedup so the shingle/band machinery never touches docs
+    # that would be dropped anyway.  Both are codegen scalar expressions
+    # (functions/text.py) — the filter rides the parquet scan's projection.
+    if args.lang is not None or args.min_quality is not None:
+        from pyspark.sql import functions as F
+
+        from stl_decomp_4j_spark.functions.text import lang_guess, quality_score
+
+        if args.lang is not None:
+            docs = docs.filter(lang_guess(F.col(args.text_col)) == args.lang)
+        if args.min_quality is not None:
+            docs = docs.filter(quality_score(F.col(args.text_col)) >= args.min_quality)
 
     if args.build_store:
         build_fingerprint_store(

@@ -101,6 +101,30 @@ def test_dedup_job_main(spark, corpus, tmp_path, monkeypatch, capsys):
     assert sorted(cleaned["doc_id"]) == [1, 4, 6, 7]
 
 
+def test_dedup_job_prefilters(spark, tmp_path, monkeypatch, capsys):
+    """--lang / --min-quality drop docs BEFORE any dedup stage (post-filter
+    count visible as stats.input)."""
+    import jobs.dedup_job as dj
+
+    rows = [
+        (1, "the cat and the dog walk to the house in the morning sun", "s1"),
+        (2, "der hund und die katze ist der beste freund und das haus", "s1"),
+        (3, "!!! ??? ;;; ***", "s1"),  # punctuation-only junk, quality ~0.35
+    ]
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "cleaned")
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]).write.parquet(src)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["dedup_job.py", "--input", src, "--output", out,
+         "--lang", "en", "--min-quality", "0.5", "--minhash-threshold", "-1"],
+    )
+    dj.main()
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["stages"]["input"] == 1
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+
+
 def test_dedup_job_incremental_flow(spark, tmp_path, monkeypatch, capsys):
     """spark-submit surface for the round-5 incremental mode: --build-store
     fingerprints history, --store cleans a new batch against it, and
